@@ -1,0 +1,65 @@
+"""Training CLI: ``python train.py -m <experiment_dir> -e <epochs>``.
+
+Mirrors the reference epoch driver exactly (reference: train.py:17-77):
+per epoch — train, greedy-decode dev, BLEU, append ``train.log``
+(``epoch, loss``) and ``dev.log`` (``epoch, bleu``), checkpoint every
+``iters_save`` epochs and at the end; auto-resume continues from
+``max_epoch + 1``.
+"""
+
+import argparse
+import os
+
+from ast_tpu.eval.bleu import Eval
+from ast_tpu.train.trainer import NN
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train and evaluate model")
+    parser.add_argument("-m", "--cfg_path", required=True,
+                        help="path for model config")
+    parser.add_argument("-e", "--epochs", required=True, help="num epochs")
+    args = parser.parse_args(argv)
+
+    cfg_path = args.cfg_path
+    epochs = int(args.epochs)
+    print(f"number of epochs={epochs:d}")
+
+    nn = NN(cfg_path)
+    train_key = nn.cfg.train["train_set"]
+    dev_key = nn.cfg.train["dev_set"]
+    iters_save = nn.cfg.train["iters_save"]
+
+    refs_path = os.path.join(nn.cfg.train["data"]["refs_path"], dev_key)
+    metrics = Eval(refs_path, nn.cfg.train["data"]["n_evals"])
+
+    start_epoch = nn.max_epoch + 1
+    max_epoch = start_epoch + epochs
+    for epoch in range(start_epoch, max_epoch):
+        print("-" * 80)
+        print(f"Experiment: {cfg_path:s} epoch: {epoch:d}")
+        print("-" * 80)
+
+        epoch_loss = nn.train_epoch(train_key, epoch=epoch)
+        with open(nn.train_log, mode="a") as train_log:
+            train_log.write(f"{epoch:d}, {epoch_loss:.4f}\n")
+
+        preds = nn.predict(dev_key)
+        hyps = nn.data_loader.get_hyps(preds)
+        bleu = metrics.calc_bleu(hyps) * 100
+
+        with open(nn.dev_log, mode="a") as dev_log:
+            dev_log.write(f"{epoch:d}, {bleu:.2f}\n")
+        print(f"BLEU = {bleu:.2f}")
+        print(f"train throughput = {nn.timer.items_per_sec:.1f} utts/sec")
+        nn.timer.reset()
+        print("-" * 80)
+
+        if (epoch % iters_save == 0) or (epoch == max_epoch - 1):
+            print("Saving model")
+            nn.save(epoch)
+            print("Finished saving model")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Experiment configuration.
+
+An experiment directory holds two JSON files — ``model_cfg.json`` (network
+architecture) and ``train_cfg.json`` (data paths, optimizer, extras) — with
+the exact same schema as the reference (reference: config.py:15-31,
+experiments/es_en_20h/*.json), so existing experiment dirs run unchanged.
+
+On load we inject:
+- ``model["rnn_config"]["dec_vocab_size"]`` from the vocab pickle
+  (reference: config.py:23-25)
+- ``model["model_dir"] = cfg_path`` (reference: config.py:29)
+
+Defaults for optional knobs are centralized here instead of being probed
+defensively at use sites (reference probes with ``in`` checks at
+seq2seq.py:107-113).
+"""
+
+import json
+import os
+import pickle
+
+
+# Optimizer type enum (reference: nn.py:38-39)
+OPT_ADAM = 0
+OPT_SGD = 1
+
+# Optional model_cfg knobs -> default values (reference: seq2seq.py:91,107,111)
+_RNN_DEFAULTS = {
+    "n_attn": 1,
+    "feed_attn": True,
+    "linear_proj": False,
+    "ln": False,
+}
+
+# Optional train_cfg knobs -> defaults. `weight_noise` / `curriculum` /
+# per-bucket batch sizes come from the reference's legacy path
+# (nmt_run.py:406-446, 850-854) and are first-class options here.
+_TRAIN_DEFAULTS = {
+    "iters_save": 10,
+}
+
+_EXTRAS_DEFAULTS = {
+    "random_out": 0,
+    "speech_noise": 0,
+    "teach_ratio": 1.0,
+    # Legacy-path capabilities carried forward (reference: nmt_run.py:850-854)
+    "weight_noise_iter": 0,   # epoch >= this (and > 0) => add weight noise
+    "weight_noise_mean": 0.0,
+    "weight_noise_sigma": 0.0,
+    # numerics: "float32" | "bfloat16" compute for matmul-heavy ops
+    "compute_dtype": "float32",
+}
+
+_DATA_DEFAULTS = {
+    "train_scale": 1,
+    "zero_input": 0,
+    "n_evals": 1,
+    "dataloader": "fisher",
+    # quantization step for decoder-length padding (static shapes for XLA);
+    # not present in the reference (it pads to the ragged batch max).
+    "target_pad_multiple": 16,
+}
+
+_OPT_DEFAULTS = {
+    "type": OPT_ADAM,
+    "lr": 1e-3,
+    "l2": 0,
+    "grad_clip": 0,
+    "grad_noise_eta": 0,
+    "freeze": [],
+    # Legacy linear LR scaling for SGD (reference: nmt_run.py:567-576)
+    "lr_scale": 1,
+}
+
+_PARALLEL_DEFAULTS = {
+    # data-parallel shards; 0 => use all local devices
+    "data_axis": 0,
+    # tensor-model-parallel shards for vocab-dim matrices; 1 => off
+    "model_axis": 1,
+}
+
+
+def _fill(dst: dict, defaults: dict) -> dict:
+    for k, v in defaults.items():
+        dst.setdefault(k, v)
+    return dst
+
+
+class Config:
+    """Load and normalize an experiment directory's configuration."""
+
+    def __init__(self, cfg_path: str) -> None:
+        self.cfg_path = cfg_path
+        with open(os.path.join(cfg_path, "model_cfg.json"), "r") as f:
+            self.model = json.load(f)
+        with open(os.path.join(cfg_path, "train_cfg.json"), "r") as f:
+            self.train = json.load(f)
+
+        # Fill defaults
+        _fill(self.train, _TRAIN_DEFAULTS)
+        _fill(self.train.setdefault("extras", {}), _EXTRAS_DEFAULTS)
+        _fill(self.train.setdefault("data", {}), _DATA_DEFAULTS)
+        _fill(self.train.setdefault("optimizer", {}), _OPT_DEFAULTS)
+        _fill(self.train.setdefault("parallel", {}), _PARALLEL_DEFAULTS)
+        _fill(self.model.setdefault("rnn_config", {}), _RNN_DEFAULTS)
+
+        # Inject decoder vocab size from the vocab pickle
+        vocab_path = self.train["data"]["vocab_path"]
+        dec_key = self.train["data"]["dec_key"]
+        with open(vocab_path, "rb") as f:
+            vocab = pickle.load(f)
+        self.model["rnn_config"]["dec_vocab_size"] = len(vocab[dec_key]["w2i"])
+
+        self.model["model_dir"] = cfg_path

@@ -1,0 +1,254 @@
+"""Bucketed, statically-shaped batch production.
+
+Re-design of the reference loaders (reference: dataloader.py:49-316) for an
+XLA world: every batch a bucket emits has the *same* shape — speech padded to
+the bucket's frame width, targets padded to a per-bucket target length, and
+the batch axis padded to ``batch_size`` with all-PAD dummy rows (whose loss
+contribution is exactly zero through the PAD class weight).  This bounds the
+number of XLA compilations to (#buckets x 2 programs) instead of recompiling
+per ragged shape.
+
+Semantics preserved from the reference:
+- shuffle within bucket, chunk, then shuffle the batch list
+  (reference: dataloader.py:125-134)
+- speech truncated to ``max_sp = (num_b+1)*width_b`` frames
+  (reference: dataloader.py:118)
+- target ids = [GO] + ids[:max_pred-2] + [EOS], UNK for OOV
+  (reference: dataloader.py:147-150)
+- frame dropout on train splits: ``int(rate*len)`` indices drawn *with*
+  replacement, zeroed (reference: dataloader.py:83-93)
+- Fisher speech loaded lazily from per-utt ``.npy`` with the
+  ``utt.split('_',1)[0]`` subdirectory fallback (reference: dataloader.py:95-103)
+- GlobalPhone speech from one in-RAM pickle dict (reference: dataloader.py:234-241)
+- ``get_hyps`` detokenization incl. BPE merge + specials filtering
+  (reference: dataloader.py:167-183)
+"""
+
+import os
+import pickle
+import random
+
+import numpy as np
+
+from ast_tpu.data import buckets as prep_buckets
+from ast_tpu.symbols import SYMBOLS
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DataLoader:
+    """Shared bucketing/batching/detokenization logic."""
+
+    def __init__(self, data_cfg, model_dir, seed="seed"):
+        self.data_cfg = data_cfg
+        self.model_dir = model_dir
+        self.py_rng = random.Random(seed)
+        self.np_rng = np.random.RandomState(
+            abs(hash(str(seed))) % (2**32)
+        )
+
+        with open(data_cfg["map_path"], "rb") as f:
+            self.map = pickle.load(f)
+        with open(data_cfg["vocab_path"], "rb") as f:
+            self.vocab = pickle.load(f)
+        with open(data_cfg["info_path"], "rb") as f:
+            self.info = pickle.load(f)
+
+        self.buckets = prep_buckets.buckets_main(
+            self.model_dir,
+            data_cfg["buckets_num"],
+            data_cfg["buckets_width"],
+            key="sp",
+            scale=data_cfg["train_scale"],
+            seed="haha",
+            info_dict=self.info,
+        )
+
+        self.n_utts = {
+            key: sum(len(b) for b in self.buckets[key]["buckets"])
+            for key in self.buckets
+        }
+
+        self._compute_target_lengths()
+
+    # ------------------------------------------------------------------
+    # static-shape policy
+    # ------------------------------------------------------------------
+    def _compute_target_lengths(self):
+        """Per-bucket static decoder length: max target tokens (+GO+EOS) of
+        any utterance in the bucket, rounded up to ``target_pad_multiple``
+        and capped at ``max_pred``.  Bucket index then fully determines the
+        (T, U) pair XLA compiles against."""
+        dec_key = self.data_cfg["dec_key"]
+        max_pred = self.data_cfg["max_pred"]
+        mult = self.data_cfg.get("target_pad_multiple", 16)
+        self.target_len = {}
+        for set_key in self.buckets:
+            num_b = self.buckets[set_key]["num_b"]
+            lens = [2] * num_b
+            for b, bucket in enumerate(self.buckets[set_key]["buckets"]):
+                for u in bucket:
+                    n = self._n_target_tokens(set_key, u, dec_key)
+                    lens[b] = max(lens[b], min(n + 2, max_pred))
+            self.target_len[set_key] = [
+                min(_round_up(l, mult), max_pred) for l in lens
+            ]
+
+    def _n_target_tokens(self, set_key, utt, dec_key):
+        entry = self.map.get(set_key, {}).get(utt)
+        if entry is not None and dec_key in entry:
+            return len(entry[dec_key])
+        # fall back to info counts when the map lacks this key
+        return int(self.info[set_key][utt].get(dec_key, 2))
+
+    # ------------------------------------------------------------------
+    # augmentation
+    # ------------------------------------------------------------------
+    def _drop_frames(self, x_data, drop_rate):
+        num_drop = int(drop_rate * len(x_data))
+        if num_drop > 0:
+            mask = np.ones(len(x_data), dtype=np.float32)
+            inds = self.np_rng.choice(np.arange(len(x_data)), size=num_drop)
+            mask[inds] = 0
+            return x_data * mask[:, np.newaxis]
+        return x_data
+
+    def _load_speech(self, utt, set_key, max_sp):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # batching
+    # ------------------------------------------------------------------
+    def get_batch(self, batch_size, set_key, train, labels=False,
+                  pad_batch=True):
+        """Generator of statically-shaped batch dicts.
+
+        Yields {"X": (B,T,D) f32, "y": (B,U) i32 [labels], "utts": [ids],
+        "n_real": int, "bucket": int}.  ``n_real`` counts true rows; dummy
+        rows are zeros / all-PAD and contribute zero loss.
+        """
+        num_b = self.buckets[set_key]["num_b"]
+        width_b = self.buckets[set_key]["width_b"]
+        max_sp = (num_b + 1) * width_b
+
+        if labels:
+            dec_key = self.data_cfg["dec_key"]
+            max_pred = self.data_cfg["max_pred"]
+
+        batch_list = []
+        for b, bucket in enumerate(self.buckets[set_key]["buckets"]):
+            bucket = list(bucket)
+            self.py_rng.shuffle(bucket)
+            for i in range(0, len(bucket), batch_size):
+                batch_list.append((bucket[i:i + batch_size], b))
+        self.py_rng.shuffle(batch_list)
+
+        for utts, b in batch_list:
+            # bucket b holds utts with < (b+1)*width_b frames (last bucket
+            # additionally holds everything longer, truncated to max_sp)
+            T = max_sp if b == num_b - 1 else (b + 1) * width_b
+            B = batch_size if pad_batch else len(utts)
+            feats = [self._load_speech(u, set_key, max_sp) for u in utts]
+            D = feats[0].shape[1]
+            X = np.zeros((B, T, D), dtype=np.float32)
+            for j, x in enumerate(feats):
+                if train and self.data_cfg.get("zero_input", 0) > 0 \
+                        and "train" in set_key:
+                    x = self._drop_frames(x, self.data_cfg["zero_input"])
+                X[j, : len(x)] = x
+
+            batch = {
+                "X": X,
+                "utts": list(utts),
+                "n_real": len(utts),
+                "bucket": b,
+            }
+
+            if labels:
+                U = self.target_len[set_key][b]
+                y = np.full((B, U), SYMBOLS.PAD_ID, dtype=np.int32)
+                w2i = self.vocab[dec_key]["w2i"]
+                for j, u in enumerate(utts):
+                    ids = [w2i.get(w, SYMBOLS.UNK_ID)
+                           for w in self.map[set_key][u][dec_key]]
+                    y_ids = [SYMBOLS.GO_ID] + ids[: max_pred - 2] + [SYMBOLS.EOS_ID]
+                    y[j, : len(y_ids)] = y_ids
+                batch["y"] = y
+
+            yield batch
+
+    # ------------------------------------------------------------------
+    # detokenization
+    # ------------------------------------------------------------------
+    def get_hyps(self, preds):
+        """id sequences -> word lists, keyed by utt.
+
+        Matches reference semantics exactly: specials (< 4) are dropped
+        wherever they occur, tokens after EOS are *kept* (the reference's
+        EOS truncation is commented out), BPE joiners are merged.
+        """
+        dec_key = self.data_cfg["dec_key"]
+        join_str = " " if dec_key.endswith("_w") else ""
+        i2w = self.vocab[dec_key]["i2w"]
+        en_hyps = {}
+        for utt, p in preds:
+            en_hyps[utt] = []
+            if isinstance(p, (list, tuple)):
+                t_str = join_str.join(
+                    i2w[i].decode() for i in p if i >= SYMBOLS.N_SPECIAL
+                )
+                if "bpe_w" in dec_key:
+                    t_str = t_str.replace("@@ ", "")
+                en_hyps[utt].extend(t_str.strip().split())
+        return en_hyps
+
+
+class FisherDataLoader(DataLoader):
+    """Fisher corpus: per-utterance ``.npy`` MFCC features on disk, with an
+    optional in-RAM cache so epochs after the first do zero disk I/O."""
+
+    def __init__(self, data_cfg, model_dir, seed="seed", cache_features=True):
+        super().__init__(data_cfg, model_dir, seed)
+        self.cache_features = cache_features
+        self._cache = {}
+
+    def _load_speech(self, utt, set_key, max_sp):
+        key = (set_key, utt)
+        if self.cache_features and key in self._cache:
+            return self._cache[key]
+        sp_path = os.path.join(self.data_cfg["speech_path"], set_key)
+        utt_path = os.path.join(sp_path, f"{utt}.npy")
+        if not os.path.exists(utt_path):
+            utt_path = os.path.join(
+                sp_path, utt.split("_", 1)[0], f"{utt}.npy"
+            )
+        x = np.load(utt_path)[:max_sp].astype(np.float32)
+        if self.cache_features:
+            self._cache[key] = x
+        return x
+
+
+class GlobalPhoneDataLoader(DataLoader):
+    """GlobalPhone corpus: all features live in one pickled dict
+    (``speech_path`` -> {set_key: {utt: (T,D) array}})."""
+
+    def __init__(self, data_cfg, model_dir, seed="seed"):
+        super().__init__(data_cfg, model_dir, seed)
+        with open(data_cfg["speech_path"], "rb") as f:
+            self.speech_data = pickle.load(f)
+
+    def _load_speech(self, utt, set_key, max_sp):
+        return np.asarray(
+            self.speech_data[set_key][utt][:max_sp], dtype=np.float32
+        )
+
+
+def make_dataloader(train_cfg, model_dir):
+    """Loader factory keyed on ``data.dataloader`` (reference: nn.py:57-65)."""
+    data_cfg = train_cfg["data"]
+    seed = train_cfg.get("seed", "seed")
+    if data_cfg.get("dataloader") == "globalphone":
+        return GlobalPhoneDataLoader(data_cfg, model_dir, seed)
+    return FisherDataLoader(data_cfg, model_dir, seed)

@@ -1,0 +1,116 @@
+"""Convolutional front-end: Conv2D(no-bias) -> BatchNorm -> ReLU stack.
+
+Equivalent capability to the reference's CNN layer list (reference:
+seq2seq.py:35-60 init, :158-180 forward): NCHW layout where H is time and
+W is the feature axis; the shipped config's first layer collapses the
+13-dim MFCC axis (stride 13) and each layer halves time, for a net 4x time
+downsampling.  Implemented with ``lax.conv_general_dilated`` so XLA maps it
+onto the MXU; BatchNorm keeps running statistics in a separate (non-trained)
+state pytree.  Legacy extras carried as config options: per-layer max
+pooling and leaky-relu (reference: enc_dec.py:444-468).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BN_DECAY = 0.9
+BN_EPS = 2e-5
+
+
+def init_conv_params(key, cnn_config, in_dim):
+    """Initialize conv + BN parameters and BN running-stat state.
+
+    Returns (params_list, state_list).  Conv weights are He-normal
+    (reference: seq2seq.py:45), OIHW layout.
+    """
+    params, state = [], []
+    in_ch = 1
+    for i, layer in enumerate(cnn_config["cnn_layers"]):
+        key, sub = jax.random.split(key)
+        out_ch = layer["out_channels"]
+        kh, kw = layer["ksize"]
+        w = jax.nn.initializers.he_normal()(sub, (out_ch, in_ch, kh, kw))
+        p = {"w": w}
+        s = {}
+        if cnn_config.get("bn", True):
+            p["bn_gamma"] = jnp.ones((out_ch,))
+            p["bn_beta"] = jnp.zeros((out_ch,))
+            s["bn_mean"] = jnp.zeros((out_ch,))
+            s["bn_var"] = jnp.ones((out_ch,))
+        else:
+            p["b"] = jnp.zeros((out_ch,))
+        params.append(p)
+        state.append(s)
+        in_ch = out_ch
+    return params, state
+
+
+def _batchnorm(p, s, h, train):
+    """BN over NCHW with running stats (decay 0.9, eps 2e-5 as Chainer)."""
+    if train:
+        mean = jnp.mean(h, axis=(0, 2, 3))
+        var = jnp.var(h, axis=(0, 2, 3))
+        new_s = {
+            "bn_mean": BN_DECAY * s["bn_mean"] + (1 - BN_DECAY) * mean,
+            "bn_var": BN_DECAY * s["bn_var"] + (1 - BN_DECAY) * var,
+        }
+    else:
+        mean, var = s["bn_mean"], s["bn_var"]
+        new_s = s
+    inv = lax.rsqrt(var + BN_EPS)
+    h = (h - mean[None, :, None, None]) * inv[None, :, None, None]
+    h = h * p["bn_gamma"][None, :, None, None] + p["bn_beta"][None, :, None, None]
+    return h, new_s
+
+
+def conv_frontend(params, state, cnn_config, X, train, compute_dtype=jnp.float32):
+    """Apply the conv stack.  X: (B, T, D) -> (B, T', C_out), new_state."""
+    h = X[:, None, :, :]  # NCHW: (B, 1, T, D)
+    new_state = []
+    for i, (p, s, layer) in enumerate(zip(params, state,
+                                          cnn_config["cnn_layers"])):
+        sh, sw = layer["stride"]
+        ph, pw = layer["pad"]
+        dil = layer.get("dilate", 1)
+        h = lax.conv_general_dilated(
+            h.astype(compute_dtype),
+            p["w"].astype(compute_dtype),
+            window_strides=(sh, sw),
+            padding=((ph, ph), (pw, pw)),
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )
+        if "bn_gamma" in p:
+            h, s = _batchnorm(p, s, h, train)
+        else:
+            h = h + p["b"][None, :, None, None]
+        if layer.get("leaky_relu", False):
+            h = jax.nn.leaky_relu(h)
+        else:
+            h = jax.nn.relu(h)
+        if layer.get("max_pool", None):
+            pk, pstr = layer["max_pool"]
+            h = lax.reduce_window(
+                h, -jnp.inf, lax.max,
+                (1, 1, pk, 1), (1, 1, pstr, 1), "SAME",
+            )
+        new_state.append(s)
+    # (B, C, T', W') -> (B, T', C*W'); shipped configs collapse W' to 1
+    B, C, Tp, Wp = h.shape
+    h = jnp.transpose(h, (0, 2, 1, 3)).reshape(B, Tp, C * Wp)
+    return h, new_state
+
+
+def conv_out_len(cnn_config, t):
+    """Output time length for input length ``t`` under the conv stack."""
+    for layer in cnn_config["cnn_layers"]:
+        kh = layer["ksize"][0]
+        sh = layer["stride"][0]
+        ph = layer["pad"][0]
+        t = (t + 2 * ph - kh) // sh + 1
+        if layer.get("max_pool", None):
+            pk, pstr = layer["max_pool"]
+            t = -(-t // pstr)
+    return t

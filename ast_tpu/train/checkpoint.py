@@ -1,0 +1,139 @@
+"""Checkpointing: flat-key NPZ snapshots of params + BN state + optimizer.
+
+The reference serializes the whole Chainer chain as NPZ named
+``seq2seq_<epoch>.model`` and auto-resumes from the max-epoch file
+(reference: train.py:75, nn.py:139-156) — but drops optimizer state
+(nmt_run.py:755-761 commented out).  We keep the naming/cadence contract
+and *also* persist optimizer state and the data-epoch, so resume is exact.
+
+``transfer_params`` reproduces copy_params.py semantics (reference:
+copy_params.py:26-56): subtree-copy encoder ("cnn"+"enc"), attention
+("attn") and/or decoder ("dec") groups from a donor checkpoint, then save
+as epoch 0 of the target experiment.
+"""
+
+import os
+import re
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        flat[f"{prefix}__len__"] = np.asarray(len(tree))
+        for i, v in enumerate(tree):
+            flat.update(_flatten(v, f"{prefix}{i}/"))
+    elif tree is None:
+        flat[f"{prefix}__none__"] = np.asarray(0)
+    else:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat):
+    # reconstruct nested structure from path keys
+    root = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def materialize(node):
+        if not isinstance(node, dict):
+            return node
+        if "__none__" in node:
+            return None
+        if "__len__" in node:
+            n = int(node["__len__"])
+            return [materialize(node[str(i)]) for i in range(n)]
+        return {k: materialize(v) for k, v in node.items()}
+
+    return materialize(root)
+
+
+def save_checkpoint(path, params, state=None, opt_state=None, extra=None):
+    """Save a training snapshot to ``path`` (.npz appended if missing)."""
+    tree = {"params": params}
+    if state is not None:
+        tree["state"] = state
+    if opt_state is not None:
+        tree["opt"] = jax.tree.map(np.asarray, opt_state)
+    if extra is not None:
+        tree["extra"] = extra
+    flat = _flatten(jax.tree.map(np.asarray, tree))
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path):
+    """Load a snapshot; returns dict with 'params' and optional
+    'state'/'opt'/'extra' subtrees (numpy leaves)."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    with np.load(path, allow_pickle=False) as f:
+        flat = {k: f[k] for k in f.files}
+    return _unflatten(flat)
+
+
+_CKPT_RE = re.compile(r"seq2seq_(\d+)\.model\.npz$")
+
+
+def checkpoint_path(model_dir, epoch):
+    return os.path.join(model_dir, f"seq2seq_{epoch}.model.npz")
+
+
+def latest_checkpoint(model_dir):
+    """(path, epoch) of the max-epoch checkpoint, or (None, 0)."""
+    best, best_epoch = None, 0
+    if os.path.isdir(model_dir):
+        for f in os.listdir(model_dir):
+            m = _CKPT_RE.search(f)
+            if m and int(m.group(1)) >= best_epoch:
+                best_epoch = int(m.group(1))
+                best = os.path.join(model_dir, f)
+    return best, best_epoch
+
+
+# param groups matching the reference's component lists
+# (reference: copy_params.py:20-24)
+TRANSFER_GROUPS = {
+    "enc": ["cnn", "enc"],
+    "attn": ["attn"],
+    "dec": ["dec"],
+}
+
+
+def transfer_params(src_params, dst_params, groups=("enc",),
+                    src_state=None, dst_state=None):
+    """Copy whole param groups from a donor model into a target model.
+
+    Shapes must match within copied groups (they do when model_cfg agrees;
+    the decoder group additionally requires equal vocab sizes).
+    Returns (new_params, new_state).
+    """
+    new_params = dict(dst_params)
+    for g in groups:
+        for key in TRANSFER_GROUPS[g]:
+            def check(a, b):
+                if np.shape(a) != np.shape(b):
+                    raise ValueError(
+                        f"shape mismatch transferring '{key}': "
+                        f"{np.shape(b)} -> {np.shape(a)}")
+                return b
+            new_params[key] = jax.tree.map(check, dst_params[key],
+                                           src_params[key])
+    new_state = dst_state
+    if "enc" in groups and src_state is not None and dst_state is not None:
+        # BN running stats ride along with the encoder
+        new_state = dict(dst_state)
+        new_state["cnn_bn"] = src_state["cnn_bn"]
+        new_state["enc_proj_bn"] = src_state["enc_proj_bn"]
+    return new_params, new_state

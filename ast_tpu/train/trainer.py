@@ -1,0 +1,281 @@
+"""Training/eval harness — the ``NN`` facade.
+
+Mirrors the reference harness's public surface (reference: nn.py:42-322):
+``NN(cfg_path)`` builds config + dataloader + model + optimizer and
+auto-resumes from the latest checkpoint; ``train_epoch`` / ``predict`` /
+``decode_beam`` drive the jitted step functions.
+
+TPU-first internals:
+- one jitted train step per duration bucket shape; parameters are donated
+  so the optimizer update is in-place in HBM
+- batches are host-assembled (numpy) then device_put; a double-buffered
+  prefetcher overlaps host assembly + H2D transfer with device compute
+- optional data-parallel mesh: batches sharded over the 'data' axis,
+  gradient all-reduce inserted by XLA over ICI (see ast_tpu.parallel)
+- greedy eval and beam decode are fully batched on device
+"""
+
+import os
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ast_tpu.config import Config
+from ast_tpu.data.dataloader import make_dataloader
+from ast_tpu.models import seq2seq
+from ast_tpu.ops import beam as beam_ops
+from ast_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from ast_tpu.symbols import SYMBOLS
+from ast_tpu.train.checkpoint import (
+    checkpoint_path, latest_checkpoint, load_checkpoint, save_checkpoint,
+)
+from ast_tpu.train.optimizer import build_optimizer
+from ast_tpu.utils.profiling import StepTimer
+
+
+def _seed_to_int(seed):
+    if isinstance(seed, int):
+        return seed
+    return abs(hash(str(seed))) % (2**31)
+
+
+class Prefetcher:
+    """Pipeline host batch assembly behind device compute."""
+
+    def __init__(self, gen, prepare, depth=2):
+        self.q = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+
+        def worker():
+            try:
+                for item in gen:
+                    self.q.put(prepare(item))
+                self.q.put(self._sentinel)
+            except BaseException as e:  # propagate to the consumer
+                self.q.put(e)
+
+        self.t = threading.Thread(target=worker, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is self._sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+class NN:
+    """Build/load a model + optimizer for one experiment directory."""
+
+    def __init__(self, cfg_path, mesh=None):
+        self.cfg = Config(cfg_path)
+        self.model_dir = self.cfg.model["model_dir"]
+        self.mcfg = self.cfg.model
+        tcfg = self.cfg.train
+
+        self.seed = _seed_to_int(tcfg["seed"])
+        self.rng = jax.random.PRNGKey(self.seed)
+
+        self.compute_dtype = (
+            jnp.bfloat16
+            if tcfg["extras"].get("compute_dtype") == "bfloat16"
+            else jnp.float32
+        )
+
+        self.data_loader = make_dataloader(tcfg, self.model_dir)
+
+        # mesh: data-parallel axis over local devices (1 device => trivial)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            tcfg.get("parallel", {}), batch_size=tcfg["batch_size"])
+
+        # params/state, with auto-resume
+        self.model_fname = os.path.join(self.model_dir, "seq2seq.model")
+        key, self.rng = jax.random.split(self.rng)
+        self.params, self.state = seq2seq.init_model(key, self.mcfg)
+        self.max_epoch = 0
+        ckpt, epoch = latest_checkpoint(self.model_dir)
+        self.opt, self.opt_state = build_optimizer(
+            tcfg["optimizer"], self.params, seed=self.seed)
+        if ckpt is not None:
+            loaded = load_checkpoint(ckpt)
+            self.params = jax.tree.map(
+                lambda a, b: jnp.asarray(b), self.params, loaded["params"])
+            if loaded.get("state") is not None:
+                self.state = jax.tree.map(
+                    lambda a, b: jnp.asarray(b), self.state, loaded["state"])
+            if loaded.get("opt") is not None:
+                try:
+                    self.opt_state = jax.tree.map(
+                        lambda a, b: jnp.asarray(b),
+                        self.opt_state, loaded["opt"])
+                except ValueError:
+                    pass  # optimizer config changed; restart moments
+            self.max_epoch = epoch
+
+        if self.mesh is not None:
+            self.params = replicate(self.params, self.mesh)
+            self.state = replicate(self.state, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+
+        self.train_log = os.path.join(self.model_dir, "train.log")
+        self.dev_log = os.path.join(self.model_dir, "dev.log")
+
+        self._train_step = self._make_train_step()
+        self._predict_step = self._make_predict_step()
+        self.timer = StepTimer()
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+    def _make_train_step(self):
+        tcfg = self.cfg.train
+        extras = tcfg["extras"]
+        mcfg = self.mcfg
+        opt = self.opt
+        compute_dtype = self.compute_dtype
+
+        def step(params, state, opt_state, X, y, n_real, key):
+            def loss_fn(p):
+                return seq2seq.forward_loss(
+                    p, state, mcfg, X, y, key, train=True, n_real=n_real,
+                    teach_ratio=extras["teach_ratio"],
+                    random_out=extras["random_out"],
+                    add_noise=extras["speech_noise"],
+                    compute_dtype=compute_dtype,
+                )
+
+            (loss, new_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, new_state, opt_state, loss
+
+        donate = (0, 1, 2)
+        if self.mesh is not None:
+            from ast_tpu.parallel.dp import shard_train_step
+            return shard_train_step(step, self.mesh, donate)
+        return jax.jit(step, donate_argnums=donate)
+
+    def _make_predict_step(self):
+        mcfg = self.mcfg
+        compute_dtype = self.compute_dtype
+        stop_limit = self.cfg.train["data"]["max_pred"]
+
+        def step(params, state, X):
+            preds, _ = seq2seq.predict_greedy(
+                params, state, mcfg, X, stop_limit, compute_dtype)
+            return preds
+
+        if self.mesh is not None:
+            from ast_tpu.parallel.dp import shard_eval_step
+            return shard_eval_step(step, self.mesh)
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    # epoch loops
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch, labels=True):
+        out = {
+            "X": batch["X"],
+            "n_real": np.float32(batch["n_real"]),
+        }
+        if labels:
+            out["y"] = batch["y"]
+        if self.mesh is not None:
+            out = shard_batch(out, self.mesh)
+        else:
+            out = jax.device_put(out)
+        out["utts"] = batch["utts"]
+        return out
+
+    def train_epoch(self, set_key, epoch=0):
+        tcfg = self.cfg.train
+        batch_size = tcfg["batch_size"]
+
+        # legacy weight-noise schedule (reference: nmt_run.py:850-854)
+        wn_iter = tcfg["extras"].get("weight_noise_iter", 0)
+        if wn_iter and epoch >= wn_iter:
+            key, self.rng = jax.random.split(self.rng)
+            self.params = seq2seq.add_weight_noise(
+                self.params, key,
+                tcfg["extras"]["weight_noise_mean"],
+                tcfg["extras"]["weight_noise_sigma"])
+
+        total_loss, n_batches = 0.0, 0
+        epoch_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+
+        gen = self.data_loader.get_batch(
+            batch_size, set_key, train=True, labels=True)
+        prefetch = Prefetcher(gen, lambda b: self._device_batch(b, True))
+
+        for i, batch in enumerate(prefetch):
+            key = jax.random.fold_in(epoch_key, i)
+            self.timer.start()
+            self.params, self.state, self.opt_state, loss = self._train_step(
+                self.params, self.state, self.opt_state,
+                batch["X"], batch["y"], batch["n_real"], key)
+            # loss reporting normalized by true batch rows, matching the
+            # current reference path (nn.py:189 divides by batch size)
+            loss_val = float(loss) / max(1, len(batch["utts"]))
+            self.timer.stop(n_items=len(batch["utts"]))
+            total_loss += loss_val
+            n_batches += 1
+
+        return total_loss / max(1, n_batches)
+
+    def predict(self, set_key):
+        batch_size = self.cfg.train["batch_size"]
+        preds = []
+        gen = self.data_loader.get_batch(
+            batch_size, set_key, train=False, labels=False)
+        prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
+        for batch in prefetch:
+            p = self._predict_step(self.params, self.state, batch["X"])
+            p = np.asarray(p)[: len(batch["utts"])]
+            preds.extend(zip(batch["utts"], p.tolist()))
+        return preds
+
+    # ------------------------------------------------------------------
+    # beam decode (batched on device)
+    # ------------------------------------------------------------------
+    def decode_beam_set(self, set_key, N, K, batch_size=None):
+        """Beam-decode a whole split.  Returns {utt: [(hyp_ids, score)]}."""
+        if batch_size is None:
+            batch_size = self.cfg.train["batch_size"]
+        stop_limit = self.cfg.train["data"]["max_pred"]
+        results = {}
+        gen = self.data_loader.get_batch(
+            batch_size, set_key, train=False, labels=False)
+        prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
+        decode = beam_ops.make_beam_decoder(
+            self.mcfg, N=N, K=K, stop_limit=stop_limit,
+            compute_dtype=self.compute_dtype)
+        for batch in prefetch:
+            hyps, scores, lengths = decode(self.params, self.state,
+                                           batch["X"])
+            hyps = np.asarray(hyps)
+            scores = np.asarray(scores)
+            lengths = np.asarray(lengths)
+            for j, utt in enumerate(batch["utts"]):
+                entries = []
+                for n in range(hyps.shape[1]):
+                    L = int(lengths[j, n])
+                    entries.append((hyps[j, n, :L].tolist(),
+                                    float(scores[j, n])))
+                results[utt] = entries
+        return results
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def save(self, epoch):
+        save_checkpoint(
+            checkpoint_path(self.model_dir, epoch),
+            self.params, self.state, self.opt_state,
+        )

@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput (utterances/sec/chip) on the flagship
+es_en_20h model shape, real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against a measured stand-in for the reference's
+execution model: the same math dispatched per-timestep WITHOUT jit/scan
+(one XLA op dispatch per LSTM step, as Chainer/CuPy launches one CUDA
+kernel per op — reference: seq2seq.py:205-242 Python time loop).  The
+reference itself (Chainer+CuPy, CUDA) cannot run on this machine; the
+stand-in reproduces its kernel-dispatch-bound pattern on identical
+hardware, so the ratio isolates the framework design (fused scan, static
+shapes, on-device decode) rather than the chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _flagship():
+    from __graft_entry__ import FLAGSHIP_MCFG
+    from ast_tpu.models import seq2seq
+
+    mcfg = FLAGSHIP_MCFG
+    key = jax.random.PRNGKey(0)
+    params, state = seq2seq.init_model(key, mcfg)
+    return mcfg, params, state
+
+
+def _batch(B, T, U, V=1098, seed=0):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(B, T, 13).astype(np.float32)
+    y = rng.randint(4, V, (B, U)).astype(np.int32)
+    y[:, 0] = 1
+    y[:, -1] = 2
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def bench_train_step(n_steps=30, B=32, T=640, U=48):
+    """Jitted full train step (fwd+bwd+adam) throughput."""
+    from ast_tpu.models import seq2seq
+    from ast_tpu.train.optimizer import build_optimizer
+
+    mcfg, params, state = _flagship()
+    opt_cfg = {"type": 0, "lr": 1e-3, "l2": 1e-4, "grad_clip": 2,
+               "grad_noise_eta": 0, "freeze": []}
+    opt, opt_state = build_optimizer(opt_cfg, params)
+    X, y = _batch(B, T, U)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def step(params, state, opt_state, X, y, rng):
+        def loss_fn(p):
+            return seq2seq.forward_loss(
+                p, state, mcfg, X, y, rng, train=True,
+                teach_ratio=0.8, add_noise=0.25)
+
+        (loss, new_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, new_state, opt_state, loss
+
+    # warmup/compile
+    params, state, opt_state, loss = step(params, state, opt_state, X, y, key)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, state, opt_state, loss = step(
+            params, state, opt_state, X, y, jax.random.fold_in(key, i))
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return (n_steps * B) / dt
+
+
+def bench_reference_style(n_steps=2, B=32, T=640, U=48):
+    """Reference-execution-model stand-in: per-timestep op dispatch, no
+    jit over the loops — the Chainer/CuPy pattern on this chip."""
+    from ast_tpu.models import seq2seq as M
+    from ast_tpu.ops.lstm import lstm_gates
+
+    mcfg, params, state = _flagship()
+    rnn = mcfg["rnn_config"]
+    enc_units = rnn["hidden_units"] // 2
+    X, y = _batch(B, T, U)
+
+    conv = jax.jit(
+        lambda p, s, X: M.encode.__wrapped__(p, s, mcfg, X)
+        if hasattr(M.encode, "__wrapped__") else None
+    )
+
+    from ast_tpu.ops.cnn import conv_frontend
+
+    def run_once():
+        h, _ = conv_frontend(params["cnn"], state["cnn_bn"],
+                             mcfg["cnn_config"], X, False)
+        Tp = h.shape[1]
+        seq = jnp.transpose(h, (1, 0, 2))
+        # per-timestep eager encoder (fwd + rev), like the reference loop
+        hs = [jnp.zeros((2, B, enc_units))] * 3
+        cs = [jnp.zeros((2, B, enc_units))] * 3
+        outs = []
+        for t in range(Tp):
+            x = jnp.stack([seq[t], seq[Tp - 1 - t]])
+            for l, lp in enumerate(params["enc"]["lstm"]):
+                z = jnp.einsum("dbi,dih->dbh", x, lp["wx"]) + \
+                    jnp.einsum("dbh,dhk->dbk", hs[l], lp["wh"]) + \
+                    lp["b"][:, None, :]
+                hn, cn = lstm_gates(z, cs[l], enc_units)
+                hs[l], cs[l] = hn, cn
+                x = hn
+            outs.append(x)
+        enc = jnp.concatenate(
+            [jnp.stack([o[0] for o in outs]),
+             jnp.flip(jnp.stack([o[1] for o in outs]), 0)], axis=-1)
+        enc = jnp.transpose(enc, (1, 0, 2))
+        # per-token eager decoder
+        dh = [jnp.concatenate([hs[l][0], hs[l][1]], -1) for l in range(3)]
+        dc = [jnp.concatenate([cs[l][0], cs[l][1]], -1) for l in range(3)]
+        ht = jnp.zeros((B, rnn["attn_units"]))
+        loss = 0.0
+        for i in range(U - 1):
+            emb = params["dec"]["embed"][y[:, i]]
+            xd = jnp.concatenate([emb, ht], -1)
+            for l, lp in enumerate(params["dec"]["lstm"]):
+                z = xd @ lp["wx"] + dh[l] @ lp["wh"] + lp["b"]
+                hn, cn = lstm_gates(z, dc[l], rnn["hidden_units"])
+                dh[l], dc[l] = hn, cn
+                xd = hn
+            q = xd @ params["attn"]["wa"][0]["w"] + params["attn"]["wa"][0]["b"]
+            scores = jnp.einsum("bth,bh->bt", enc, q)
+            alphas = jax.nn.softmax(scores, -1)
+            cv = jnp.einsum("bt,bth->bh", alphas, enc)
+            htn = jnp.tanh(
+                jnp.concatenate([cv, xd], -1) @ params["attn"]["context"]["w"]
+                + params["attn"]["context"]["b"])
+            logits = htn @ params["dec"]["out_w"] + params["dec"]["out_b"]
+            logp = jax.nn.log_softmax(logits, -1)
+            tgt = y[:, i + 1]
+            nll = -jnp.take_along_axis(logp, tgt[:, None], -1)[:, 0]
+            loss = loss + jnp.sum(nll * (tgt != 0)) / B
+            ht = htn
+        return loss
+
+    # forward-only timing (the reference also runs backward; forward-only
+    # makes this a conservative, favorable-to-baseline comparison)
+    loss = run_once()
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        loss = run_once()
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return (n_steps * B) / dt
+
+
+def main():
+    value = bench_train_step()
+    try:
+        baseline = bench_reference_style()
+    except Exception:
+        baseline = None
+    vs = (value / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "fisher_es_en_20h_train_utts_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "utts/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Checkpoint roundtrip, resume discovery, subtree transfer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ast_tpu.models import seq2seq
+from ast_tpu.train.checkpoint import (
+    checkpoint_path, latest_checkpoint, load_checkpoint, save_checkpoint,
+    transfer_params,
+)
+from tests.conftest import TINY_MODEL_CFG
+
+
+def _model(vocab=12, seed=0):
+    mcfg = jax.tree.map(lambda x: x, TINY_MODEL_CFG)
+    mcfg["rnn_config"] = dict(mcfg["rnn_config"], dec_vocab_size=vocab)
+    return mcfg, *seq2seq.init_model(jax.random.PRNGKey(seed), mcfg)
+
+
+def test_roundtrip(tmp_path):
+    mcfg, params, state = _model()
+    opt_state = {"mu": jax.tree.map(jnp.zeros_like, params),
+                 "count": jnp.zeros((), jnp.int32)}
+    p = str(tmp_path / "ckpt")
+    save_checkpoint(p, params, state, opt_state, extra={"epoch": np.int64(7)})
+    loaded = load_checkpoint(p)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(loaded["extra"]["epoch"]) == 7
+    # structure preserved (lists stay lists)
+    assert isinstance(loaded["params"]["cnn"], list)
+
+
+def test_latest_checkpoint(tmp_path):
+    mcfg, params, state = _model()
+    for epoch in [1, 10, 3]:
+        save_checkpoint(checkpoint_path(str(tmp_path), epoch), params)
+    path, epoch = latest_checkpoint(str(tmp_path))
+    assert epoch == 10
+    assert path.endswith("seq2seq_10.model.npz")
+    assert latest_checkpoint(str(tmp_path / "nope")) == (None, 0)
+
+
+def test_transfer_enc_attn(tmp_path):
+    _, src_params, src_state = _model(seed=0)
+    _, dst_params, dst_state = _model(seed=1)
+    new_params, new_state = transfer_params(
+        src_params, dst_params, groups=("enc", "attn"),
+        src_state=src_state, dst_state=dst_state)
+    np.testing.assert_array_equal(
+        np.asarray(new_params["cnn"][0]["w"]),
+        np.asarray(src_params["cnn"][0]["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(new_params["attn"]["wa"][0]["w"]),
+        np.asarray(src_params["attn"]["wa"][0]["w"]))
+    # decoder untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_params["dec"]["embed"]),
+        np.asarray(dst_params["dec"]["embed"]))
+
+
+def test_transfer_shape_mismatch_raises(tmp_path):
+    _, src_params, _ = _model(vocab=12)
+    _, dst_params, _ = _model(vocab=20)
+    with pytest.raises(ValueError):
+        transfer_params(src_params, dst_params, groups=("dec",))
+    # enc transfer across different vocabs is fine
+    transfer_params(src_params, dst_params, groups=("enc",))

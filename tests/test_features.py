@@ -1,0 +1,140 @@
+"""Feature pipeline: MFCC matmul-DFT parity, CMVN, ark readers, native
+parser parity."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from ast_tpu.data import kaldi_ark
+from ast_tpu.ops import fbank
+
+
+def test_dft_matches_rfft():
+    cfg = fbank.MfccConfig()
+    ext = fbank.MfccExtractor(cfg)
+    rng = np.random.RandomState(0)
+    frame = rng.randn(cfg.frame_len).astype(np.float32)
+    cos_b, sin_b = np.asarray(ext.consts[0]), np.asarray(ext.consts[1])
+    re = frame @ cos_b
+    im = frame @ sin_b
+    ref = np.fft.rfft(frame, n=cfg.n_fft)
+    np.testing.assert_allclose(re, ref.real, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(im, ref.imag, rtol=1e-3, atol=1e-3)
+    power = re**2 + im**2
+    np.testing.assert_allclose(power, np.abs(ref) ** 2, rtol=1e-3, atol=1e-2)
+
+
+def test_mfcc_shapes_and_framing():
+    cfg = fbank.MfccConfig()  # 8kHz: 200-sample frames, 80 shift
+    assert cfg.frame_len == 200 and cfg.shift == 80 and cfg.n_fft == 256
+    ext = fbank.MfccExtractor(cfg)
+    audio = np.random.RandomState(0).randn(2, 8000).astype(np.float32)
+    feats = np.asarray(ext(audio))
+    # 1 + (8000-200)//80 = 98 frames of 13 ceps
+    assert feats.shape == (2, 98, 13)
+    assert np.isfinite(feats).all()
+
+
+def test_mfcc_against_numpy_reference():
+    """Independent NumPy implementation of the same math."""
+    cfg = fbank.MfccConfig()
+    ext = fbank.MfccExtractor(cfg)
+    rng = np.random.RandomState(1)
+    audio = rng.randn(4000).astype(np.float32)
+    got = np.asarray(ext(audio[None]))[0]
+
+    n_fr = fbank.num_frames(cfg, 4000)
+    win = np.asarray(ext.consts[2])
+    fb = np.asarray(ext.consts[3])
+    dct = np.asarray(ext.consts[4])
+    expect = []
+    for i in range(n_fr):
+        fr = audio[i * cfg.shift: i * cfg.shift + cfg.frame_len].copy()
+        fr = fr - fr.mean()
+        pre = np.concatenate([[fr[0]], fr[:-1]])
+        fr = fr - cfg.preemph * pre
+        fr = fr * win
+        spec = np.abs(np.fft.rfft(fr, cfg.n_fft)) ** 2
+        mel = np.log(np.maximum(spec @ fb, cfg.log_floor))
+        expect.append(mel @ dct)
+    np.testing.assert_allclose(got, np.asarray(expect), rtol=1e-3, atol=1e-2)
+
+
+def test_cmvn_roundtrip():
+    rng = np.random.RandomState(0)
+    arrays = [rng.randn(50, 13) * 3 + 5 for _ in range(4)]
+    stats = fbank.compute_cmvn_stats(arrays)
+    normed = np.concatenate(
+        [np.asarray(fbank.apply_cmvn(a, stats)) for a in arrays])
+    assert abs(normed.mean()) < 1e-4
+    assert abs(normed.std() - 1.0) < 1e-3
+
+
+def _write_text_ark(path, items):
+    with open(path, "w") as f:
+        for utt, mat in items:
+            f.write(f"{utt}  [\n")
+            for i, row in enumerate(mat):
+                tail = " ]" if i == len(mat) - 1 else ""
+                f.write("  " + " ".join(f"{v:.6g}" for v in row) + tail + "\n")
+
+
+@pytest.fixture
+def ark_items():
+    rng = np.random.RandomState(0)
+    return [
+        ("conv1-A-1", rng.randn(5, 13).astype(np.float32)),
+        ("conv1-A-2", rng.randn(3, 13).astype(np.float32)),
+        ("conv2-B-1", rng.randn(7, 13).astype(np.float32)),
+    ]
+
+
+def test_text_ark_roundtrip(tmp_path, ark_items):
+    path = str(tmp_path / "test.ark")
+    _write_text_ark(path, ark_items)
+    got = list(kaldi_ark._read_text_ark_py(path))
+    assert [u for u, _ in got] == [u for u, _ in ark_items]
+    for (u1, m1), (u2, m2) in zip(got, ark_items):
+        np.testing.assert_allclose(m1, m2, rtol=1e-5)
+
+
+def test_native_parser_matches_python(tmp_path, ark_items):
+    from ast_tpu.native import fast_text_ark
+    if fast_text_ark is None:
+        pytest.skip("native parser unavailable (no g++)")
+    path = str(tmp_path / "test.ark")
+    _write_text_ark(path, ark_items)
+    py = list(kaldi_ark._read_text_ark_py(path))
+    cc = list(fast_text_ark(path))
+    assert [u for u, _ in py] == [u for u, _ in cc]
+    for (_, m1), (_, m2) in zip(py, cc):
+        np.testing.assert_allclose(m1, m2, rtol=1e-5)
+
+
+def test_binary_ark_roundtrip(tmp_path, ark_items):
+    path = str(tmp_path / "test_bin.ark")
+    kaldi_ark.write_binary_ark(path, ark_items)
+    got = list(kaldi_ark.read_binary_ark(path))
+    assert [u for u, _ in got] == [u for u, _ in ark_items]
+    for (_, m1), (_, m2) in zip(got, ark_items):
+        np.testing.assert_array_equal(m1, m2)
+
+
+def test_conversation_pickles(tmp_path, ark_items):
+    path = str(tmp_path / "test.ark")
+    _write_text_ark(path, ark_items)
+    out = str(tmp_path / "convs")
+    n = kaldi_ark.ark_to_conversation_pickles(path, out)
+    assert n == 2
+    with open(os.path.join(out, "conv1.np"), "rb") as f:
+        conv1 = pickle.load(f)
+    assert set(conv1.keys()) == {"conv1-A-1", "conv1-A-2"}
+    np.testing.assert_allclose(conv1["conv1-A-1"], ark_items[0][1],
+                               rtol=1e-5)
+
+
+def test_merge_segments(ark_items):
+    merged = kaldi_ark.merge_segments([m for _, m in ark_items[:2]])
+    assert merged.shape == (8, 13)

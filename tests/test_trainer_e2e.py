@@ -1,0 +1,83 @@
+"""End-to-end harness tests on the synthetic tiny experiment:
+train epochs, logs, checkpoint/resume, greedy + beam CLI, transfer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ast_tpu.train.trainer import NN
+from tests.conftest import make_tiny_experiment
+
+
+@pytest.fixture(scope="module")
+def trained_exp(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    exp = make_tiny_experiment(root)
+    import ast_tpu.cli.train as train_cli
+    train_cli.main(["-m", exp, "-e", "2"])
+    return exp
+
+
+def test_train_writes_logs_and_ckpt(trained_exp):
+    train_log = os.path.join(trained_exp, "train.log")
+    dev_log = os.path.join(trained_exp, "dev.log")
+    assert os.path.exists(train_log)
+    lines = open(train_log).read().strip().split("\n")
+    assert len(lines) == 2
+    epoch, loss = lines[0].split(", ")
+    assert epoch == "1" and float(loss) > 0
+    dev_lines = open(dev_log).read().strip().split("\n")
+    assert len(dev_lines) == 2
+    assert os.path.exists(
+        os.path.join(trained_exp, "seq2seq_2.model.npz"))
+    # bucket dict persisted in the model dir
+    assert os.path.exists(os.path.join(trained_exp, "buckets_sp.dict"))
+
+
+def test_resume_continues_from_max_epoch(trained_exp):
+    nn = NN(trained_exp)
+    assert nn.max_epoch == 2
+
+
+def test_loss_decreases_over_epochs(trained_exp):
+    nn = NN(trained_exp)
+    losses = [nn.train_epoch("tiny_train", epoch=e) for e in range(3, 7)]
+    assert losses[-1] < losses[0]
+
+
+def test_predict_and_hyps(trained_exp):
+    nn = NN(trained_exp)
+    preds = nn.predict("tiny_dev")
+    assert len(preds) == nn.data_loader.n_utts["tiny_dev"]
+    hyps = nn.data_loader.get_hyps(preds)
+    assert set(hyps.keys()) == set(u for u, _ in preds)
+
+
+def test_beam_cli(trained_exp):
+    import ast_tpu.cli.beam as beam_cli
+    bleu = beam_cli.main(["-m", trained_exp, "-n", "3", "-k", "3",
+                          "-s", "tiny_dev", "-w", "0.6"])
+    assert bleu >= 0
+    assert os.path.exists(
+        os.path.join(trained_exp, "tiny_dev_beam_N-3_K-3.p"))
+    assert os.path.exists(
+        os.path.join(trained_exp, "tiny_dev_beam_N-3_K-3_W-0.60.en"))
+    # resumable from pickle
+    bleu2 = beam_cli.main(["-m", trained_exp, "-n", "3", "-k", "3",
+                           "-s", "tiny_dev", "-w", "0.6", "--resume"])
+    assert abs(bleu - bleu2) < 1e-9
+
+
+def test_copy_params_cli(trained_exp, tmp_path):
+    target = make_tiny_experiment(str(tmp_path), seed=1)
+    import ast_tpu.cli.copy_params as cp
+    cp.main(["--src", trained_exp, "--dst", target, "--groups", "enc,attn"])
+    assert os.path.exists(os.path.join(target, "seq2seq_0.model.npz"))
+    # target resumes from the transferred epoch-0 checkpoint
+    nn_t = NN(target)
+    assert nn_t.max_epoch == 0
+    nn_s = NN(trained_exp)
+    np.testing.assert_array_equal(
+        np.asarray(nn_t.params["cnn"][0]["w"]),
+        np.asarray(nn_s.params["cnn"][0]["w"]))
