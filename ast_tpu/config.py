@@ -109,6 +109,19 @@ class Config:
         dec_key = self.train["data"]["dec_key"]
         with open(vocab_path, "rb") as f:
             vocab = pickle.load(f)
-        self.model["rnn_config"]["dec_vocab_size"] = len(vocab[dec_key]["w2i"])
+        if self.train["data"].get("limit_vocab", False):
+            # limited flat vocab (legacy capability, reference:
+            # nmt_run.py:657-660): top-level w2i, OOV targets dropped
+            self.model["rnn_config"]["dec_vocab_size"] = len(vocab["w2i"])
+        else:
+            self.model["rnn_config"]["dec_vocab_size"] = (
+                len(vocab[dec_key]["w2i"]))
+
+        # text-encoder mode (legacy capability, reference:
+        # enc_dec.py:162-164): non-speech enc_key embeds source tokens
+        enc_key = self.train["data"].get("enc_key", "sp")
+        if enc_key != "sp":
+            self.model["rnn_config"]["enc_vocab_size"] = (
+                len(vocab[enc_key]["w2i"]))
 
         self.model["model_dir"] = cfg_path

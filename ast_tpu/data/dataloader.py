@@ -56,11 +56,16 @@ class DataLoader:
         with open(data_cfg["info_path"], "rb") as f:
             self.info = pickle.load(f)
 
+        # speech runs bucket on frame counts; text-encoder mode (legacy
+        # capability) buckets on source token counts
+        self.enc_key = data_cfg.get("enc_key", "sp")
+        self.text_mode = self.enc_key != "sp"
+        bucket_key = "sp" if not self.text_mode else self.enc_key
         self.buckets = prep_buckets.buckets_main(
             self.model_dir,
             data_cfg["buckets_num"],
             data_cfg["buckets_width"],
-            key="sp",
+            key=bucket_key,
             scale=data_cfg["train_scale"],
             seed="haha",
             info_dict=self.info,
@@ -121,13 +126,27 @@ class DataLoader:
     # ------------------------------------------------------------------
     # batching
     # ------------------------------------------------------------------
+    def _bucket_batch_size(self, batch_size, b, num_b):
+        """Flat int, or legacy per-bucket sizes {max, med, min} by bucket
+        thirds (reference: nmt_run.py:416-426)."""
+        if isinstance(batch_size, dict):
+            if b < num_b // 3:
+                return int(batch_size["max"])
+            if b < (num_b * 2) // 3:
+                return int(batch_size["med"])
+            return int(batch_size["min"])
+        return int(batch_size)
+
     def get_batch(self, batch_size, set_key, train, labels=False,
-                  pad_batch=True):
+                  pad_batch=True, curriculum=False):
         """Generator of statically-shaped batch dicts.
 
         Yields {"X": (B,T,D) f32, "y": (B,U) i32 [labels], "utts": [ids],
         "n_real": int, "bucket": int}.  ``n_real`` counts true rows; dummy
         rows are zeros / all-PAD and contribute zero loss.
+
+        ``curriculum=True`` feeds buckets short-to-long without shuffling
+        the batch order (legacy capability, reference: nmt_run.py:406-446).
         """
         num_b = self.buckets[set_key]["num_b"]
         width_b = self.buckets[set_key]["width_b"]
@@ -139,25 +158,37 @@ class DataLoader:
 
         batch_list = []
         for b, bucket in enumerate(self.buckets[set_key]["buckets"]):
+            b_size = self._bucket_batch_size(batch_size, b, num_b)
             bucket = list(bucket)
             self.py_rng.shuffle(bucket)
-            for i in range(0, len(bucket), batch_size):
-                batch_list.append((bucket[i:i + batch_size], b))
-        self.py_rng.shuffle(batch_list)
+            for i in range(0, len(bucket), b_size):
+                batch_list.append((bucket[i:i + b_size], b))
+        if not curriculum:
+            self.py_rng.shuffle(batch_list)
 
         for utts, b in batch_list:
             # bucket b holds utts with < (b+1)*width_b frames (last bucket
             # additionally holds everything longer, truncated to max_sp)
             T = max_sp if b == num_b - 1 else (b + 1) * width_b
-            B = batch_size if pad_batch else len(utts)
-            feats = [self._load_speech(u, set_key, max_sp) for u in utts]
-            D = feats[0].shape[1]
-            X = np.zeros((B, T, D), dtype=np.float32)
-            for j, x in enumerate(feats):
-                if train and self.data_cfg.get("zero_input", 0) > 0 \
-                        and "train" in set_key:
-                    x = self._drop_frames(x, self.data_cfg["zero_input"])
-                X[j, : len(x)] = x
+            b_size = self._bucket_batch_size(batch_size, b, num_b)
+            B = b_size if pad_batch else len(utts)
+            if self.text_mode:
+                # text-encoder source: padded int token ids
+                w2i = self.vocab[self.enc_key]["w2i"]
+                X = np.full((B, T), SYMBOLS.PAD_ID, dtype=np.int32)
+                for j, u in enumerate(utts):
+                    ids = [w2i.get(w, SYMBOLS.UNK_ID)
+                           for w in self.map[set_key][u][self.enc_key]][:T]
+                    X[j, : len(ids)] = ids
+            else:
+                feats = [self._load_speech(u, set_key, max_sp) for u in utts]
+                D = feats[0].shape[1]
+                X = np.zeros((B, T, D), dtype=np.float32)
+                for j, x in enumerate(feats):
+                    if train and self.data_cfg.get("zero_input", 0) > 0 \
+                            and "train" in set_key:
+                        x = self._drop_frames(x, self.data_cfg["zero_input"])
+                    X[j, : len(x)] = x
 
             batch = {
                 "X": X,
@@ -169,11 +200,22 @@ class DataLoader:
             if labels:
                 U = self.target_len[set_key][b]
                 y = np.full((B, U), SYMBOLS.PAD_ID, dtype=np.int32)
-                w2i = self.vocab[dec_key]["w2i"]
+                limit_vocab = self.data_cfg.get("limit_vocab", False)
+                add_unk = self.data_cfg.get("add_unk", False)
+                w2i = (self.vocab["w2i"] if limit_vocab
+                       else self.vocab[dec_key]["w2i"])
                 for j, u in enumerate(utts):
-                    ids = [w2i.get(w, SYMBOLS.UNK_ID)
-                           for w in self.map[set_key][u][dec_key]]
-                    y_ids = [SYMBOLS.GO_ID] + ids[: max_pred - 2] + [SYMBOLS.EOS_ID]
+                    toks = self.map[set_key][u][dec_key]
+                    if limit_vocab:
+                        # OOV dropped, not UNK'd (reference:
+                        # nmt_run.py:348-358)
+                        ids = [w2i[w] for w in toks if w in w2i]
+                        if not ids and add_unk:
+                            ids = [SYMBOLS.UNK_ID]
+                    else:
+                        ids = [w2i.get(w, SYMBOLS.UNK_ID) for w in toks]
+                    y_ids = [SYMBOLS.GO_ID] + ids[: max_pred - 2] \
+                        + [SYMBOLS.EOS_ID]
                     y[j, : len(y_ids)] = y_ids
                 batch["y"] = y
 
@@ -191,7 +233,9 @@ class DataLoader:
         """
         dec_key = self.data_cfg["dec_key"]
         join_str = " " if dec_key.endswith("_w") else ""
-        i2w = self.vocab[dec_key]["i2w"]
+        i2w = (self.vocab["i2w"]
+               if self.data_cfg.get("limit_vocab", False)
+               else self.vocab[dec_key]["i2w"])
         en_hyps = {}
         for utt, p in preds:
             en_hyps[utt] = []

@@ -77,6 +77,14 @@ def init_model(key, mcfg, in_dim=13):
     keys = jax.random.split(key, 8)
     cnn_params, cnn_state = init_conv_params(keys[0], cnn, in_dim)
 
+    # text-encoder mode: source-token embedding feeding the same CNN+RNN
+    # stack (legacy capability, reference: enc_dec.py:162-164, 517-525)
+    enc_embed = None
+    if rnn.get("enc_vocab_size", 0):
+        enc_embed = jax.random.normal(
+            jax.random.fold_in(keys[7], 1),
+            (rnn["enc_vocab_size"], rnn["embedding_units"]))
+
     # encoder feature width after the conv stack (W axis collapsed)
     cnn_out = cnn["cnn_layers"][-1]["out_channels"]
 
@@ -94,6 +102,18 @@ def init_model(key, mcfg, in_dim=13):
         return layers
 
     enc_layers = stacked_dir_lstm(keys[1], rnn["enc_layers"], cnn_out)
+
+    # optional per-layer LayerNorm on LSTM outputs (reference:
+    # seq2seq.py:84-87,199-202 — one LN per LSTM link, applied after
+    # dropout); params per enc layer carry a direction axis
+    enc_ln, dec_ln = [], []
+    if rnn.get("ln", False):
+        for _ in range(rnn["enc_layers"]):
+            enc_ln.append({"g": jnp.ones((n_dirs, enc_units)),
+                           "b": jnp.zeros((n_dirs, enc_units))})
+        for _ in range(rnn["dec_layers"]):
+            dec_ln.append({"g": jnp.ones((hidden,)),
+                           "b": jnp.zeros((hidden,))})
 
     # optional inter-layer projection (linear_proj variant,
     # reference: seq2seq.py:91-99)
@@ -136,6 +156,11 @@ def init_model(key, mcfg, in_dim=13):
         "dec": {"embed": embed, "lstm": dec_layers,
                 "out_w": out_w, "out_b": out_b},
     }
+    if enc_embed is not None:
+        params["enc"]["embed"] = enc_embed
+    if rnn.get("ln", False):
+        params["enc"]["ln"] = enc_ln
+        params["dec"]["ln"] = dec_ln
     state = {"cnn_bn": cnn_state, "enc_proj_bn": proj_state}
     return params, state
 
@@ -143,6 +168,12 @@ def init_model(key, mcfg, in_dim=13):
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
+
+def _layernorm(x, g, b, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * lax.rsqrt(var + eps) * g + b
+
 
 def _dir_lstm_matmul(p, x, wname):
     """x: (D, B, in) @ p[wname]: (D, in, 4H) -> (D, B, 4H)."""
@@ -167,7 +198,10 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
     B = X.shape[0]
 
     key, nkey = jax.random.split(key)
-    if train and add_noise > 0:
+    if jnp.issubdtype(X.dtype, jnp.integer):
+        # text-encoder mode: embed source tokens, then the same conv stack
+        X = params["enc"]["embed"][X]
+    elif train and add_noise > 0:
         # multiplicative speech noise N(1, sigma) (reference: seq2seq.py:297-305)
         X = X * (1.0 + add_noise * jax.random.normal(nkey, X.shape))
 
@@ -199,32 +233,64 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
         preferred_element_type=jnp.float32,
     )
 
-    step_keys = jax.random.split(key, Tp)
+    # Pallas fused-recurrence path: the whole stacked biLSTM runs as one
+    # Mosaic kernel (see ast_tpu.ops.fused_lstm); fall back to lax.scan
+    # when disabled or when the variant doesn't apply (LayerNorm).
+    use_ln = rnn.get("ln", False)
+    from ast_tpu.ops.fused_lstm import fused_fits
+    use_fused = (rnn.get("fused_encoder", False) and not use_ln
+                 and fused_fits(
+                     n_layers, n_dirs, B, enc_units,
+                     2 if compute_dtype != jnp.float32 else 4))
+    if use_fused:
+        from ast_tpu.ops.fused_lstm import (
+            fused_stacked_lstm, pack_encoder_weights)
+        wx_rest, wh_s, b_s = pack_encoder_weights(layers)
+        if compute_dtype != jnp.float32:
+            # bf16 weights in VMEM (f32 accumulate); halves kernel VMEM
+            wx_rest = wx_rest.astype(compute_dtype)
+            wh_s = wh_s.astype(compute_dtype)
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+        outs_f, h_fin_f, c_fin_f = fused_stacked_lstm(
+            x0_proj, wx_rest, wh_s, b_s, seed,
+            bool(train), float(drop) if train else 0.0,
+            bool(rnn.get("fused_interpret", False)))
+        # (T,D2,B,H) / (L,D2,B,H) -> scan-layout (T,D,B,H) etc.
+        outs = outs_f
+        h_fin, c_fin = h_fin_f, c_fin_f
+    else:
+        step_keys = jax.random.split(key, Tp)
+        h0 = jnp.zeros((n_layers, n_dirs, B, enc_units))
+        c0 = jnp.zeros((n_layers, n_dirs, B, enc_units))
 
-    h0 = jnp.zeros((n_layers, n_dirs, B, enc_units))
-    c0 = jnp.zeros((n_layers, n_dirs, B, enc_units))
+        def step(carry, inp):
+            h_all, c_all = carry
+            xp0, skey = inp
+            lkeys = jax.random.split(skey, n_layers)
+            x = None
+            new_h, new_c = [], []
+            for l, lp in enumerate(layers):
+                if l == 0:
+                    z = xp0
+                else:
+                    z = _dir_lstm_matmul(
+                        {"wx": lp["wx"].astype(compute_dtype)},
+                        x.astype(compute_dtype), "wx")
+                z = z + _dir_lstm_matmul(lp, h_all[l], "wh") \
+                    + lp["b"][:, None, :]
+                h_new, c_new = lstm_gates(z, c_all[l], enc_units)
+                x = dropout(lkeys[l], h_new, drop, train)
+                if use_ln:
+                    ln = params["enc"]["ln"][l]
+                    x = _layernorm(x, ln["g"][:, None, :],
+                                   ln["b"][:, None, :])
+                new_h.append(h_new)
+                new_c.append(c_new)
+            return (jnp.stack(new_h), jnp.stack(new_c)), x
 
-    def step(carry, inp):
-        h_all, c_all = carry
-        xp0, skey = inp
-        lkeys = jax.random.split(skey, n_layers)
-        x = None
-        new_h, new_c = [], []
-        for l, lp in enumerate(layers):
-            if l == 0:
-                z = xp0
-            else:
-                z = _dir_lstm_matmul(
-                    {"wx": lp["wx"].astype(compute_dtype)},
-                    x.astype(compute_dtype), "wx")
-            z = z + _dir_lstm_matmul(lp, h_all[l], "wh") + lp["b"][:, None, :]
-            h_new, c_new = lstm_gates(z, c_all[l], enc_units)
-            x = dropout(lkeys[l], h_new, drop, train)
-            new_h.append(h_new)
-            new_c.append(c_new)
-        return (jnp.stack(new_h), jnp.stack(new_c)), x
-
-    (h_fin, c_fin), outs = lax.scan(step, (h0, c0), (x0_proj, step_keys))
+        (h_fin, c_fin), outs = lax.scan(
+            step, (h0, c0), (x0_proj, step_keys),
+            unroll=rnn.get("scan_unroll", 1))
     # outs: (T', D, B, enc_units) — post-dropout top-layer outputs
     if bi:
         fwd = outs[:, 0]
@@ -341,20 +407,25 @@ def decode_step(params, mcfg, enc_states, carry, token, key, train,
     lkeys = jax.random.split(k_rnn, len(params["dec"]["lstm"]))
     new_h, new_c = [], []
     for l, lp in enumerate(params["dec"]["lstm"]):
-        x_proj = (x.astype(compute_dtype)
-                  @ lp["wx"].astype(compute_dtype)).astype(jnp.float32)
+        x_proj = jnp.dot(x.astype(compute_dtype),
+                         lp["wx"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
         z = x_proj + carry["h"][l] @ lp["wh"] + lp["b"]
         h_new, c_new = lstm_gates(z, carry["c"][l], hidden)
         x = dropout(lkeys[l], h_new, drop["rnn"], train)
+        if rnn.get("ln", False):
+            ln = params["dec"]["ln"][l]
+            x = _layernorm(x, ln["g"], ln["b"])
         new_h.append(h_new)
         new_c.append(c_new)
 
     ht, alphas = luong_attention(params["attn"], enc_states, x,
                                  enc_mask=enc_mask,
                                  compute_dtype=compute_dtype)
-    logits = (ht.astype(compute_dtype)
-              @ params["dec"]["out_w"].astype(compute_dtype)).astype(
-                  jnp.float32) + params["dec"]["out_b"]
+    logits = jnp.dot(ht.astype(compute_dtype),
+                     params["dec"]["out_w"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32) \
+        + params["dec"]["out_b"]
     # out-dropout on logits, as the reference applies it (seq2seq.py:394)
     logits = dropout(key, logits, drop["out"], train)
     new_carry = {"h": jnp.stack(new_h), "c": jnp.stack(new_c), "ht": ht}
@@ -435,7 +506,9 @@ def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
         step_loss = jnp.sum(nll * pad_w) / n_real
         return (carry, pred), step_loss
 
-    (_, _), step_losses = lax.scan(step, (carry0, yT[0]), (idx, step_keys))
+    (_, _), step_losses = lax.scan(
+        step, (carry0, yT[0]), (idx, step_keys),
+        unroll=mcfg["rnn_config"].get("scan_unroll", 1))
     return jnp.sum(step_losses), new_state
 
 

@@ -65,7 +65,13 @@ def _batchnorm(p, s, h, train):
 
 
 def conv_frontend(params, state, cnn_config, X, train, compute_dtype=jnp.float32):
-    """Apply the conv stack.  X: (B, T, D) -> (B, T', C_out), new_state."""
+    """Apply the conv stack.  X: (B, T, D) -> (B, T', C_out), new_state.
+
+    The convs always run in float32: they are a small fraction of the
+    model FLOPs and XLA's transpose-conv gradient rejects mixed bf16/f32
+    operands; the bf16 ``compute_dtype`` policy applies to the LSTM /
+    attention / projection matmuls instead."""
+    del compute_dtype
     h = X[:, None, :, :]  # NCHW: (B, 1, T, D)
     new_state = []
     for i, (p, s, layer) in enumerate(zip(params, state,
@@ -74,8 +80,8 @@ def conv_frontend(params, state, cnn_config, X, train, compute_dtype=jnp.float32
         ph, pw = layer["pad"]
         dil = layer.get("dilate", 1)
         h = lax.conv_general_dilated(
-            h.astype(compute_dtype),
-            p["w"].astype(compute_dtype),
+            h,
+            p["w"],
             window_strides=(sh, sw),
             padding=((ph, ph), (pw, pw)),
             rhs_dilation=(dil, dil),

@@ -14,24 +14,16 @@ from ast_tpu.parallel.mesh import batch_spec, param_spec
 
 
 def shard_train_step(step, mesh, donate_argnums=()):
-    """jit ``step(params, state, opt_state, X, y, n_real, key)`` over mesh."""
-    repl = NamedSharding(mesh, P())
-    data4 = NamedSharding(mesh, P("data", None, None))
-    data2 = NamedSharding(mesh, P("data", None))
+    """jit ``step(params, state, opt_state, X, y, n_real, key)`` over mesh.
 
-    def wrapped(params, state, opt_state, X, y, n_real, key):
-        return step(params, state, opt_state, X, y, n_real, key)
-
-    jitted = jax.jit(
-        wrapped,
-        donate_argnums=donate_argnums,
-        in_shardings=(None, None, None, data4, data2, repl, repl),
-        out_shardings=None,
-    )
-    return jitted
+    Inputs arrive already placed (params replicated / vocab-sharded by
+    :func:`ast_tpu.parallel.mesh.replicate`, batches data-sharded by
+    :func:`shard_batch`); jit propagates those shardings and the SPMD
+    partitioner inserts the gradient all-reduce.
+    """
+    return jax.jit(step, donate_argnums=donate_argnums)
 
 
 def shard_eval_step(step, mesh):
-    """jit ``step(params, state, X)`` with X sharded on 'data'."""
-    data4 = NamedSharding(mesh, P("data", None, None))
-    return jax.jit(step, in_shardings=(None, None, data4))
+    """jit ``step(params, state, X)``; X arrives data-sharded."""
+    return jax.jit(step)

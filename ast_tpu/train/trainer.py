@@ -88,11 +88,24 @@ class NN:
             else jnp.float32
         )
 
+        # Pallas fused encoder: on by default on TPU (3.4x step speedup),
+        # scan path elsewhere; explicit config wins
+        if "fused_encoder" not in self.mcfg["rnn_config"]:
+            self.mcfg["rnn_config"]["fused_encoder"] = (
+                jax.default_backend() == "tpu")
+
         self.data_loader = make_dataloader(tcfg, self.model_dir)
 
-        # mesh: data-parallel axis over local devices (1 device => trivial)
+        # mesh: data-parallel axis over local devices (1 device => trivial).
+        # With legacy per-bucket batch sizes every size must shard evenly,
+        # so the divisibility constraint is their gcd.
+        bs = tcfg["batch_size"]
+        if isinstance(bs, dict):
+            import math
+            sizes = [int(bs[k]) for k in ("max", "med", "min") if k in bs]
+            bs = math.gcd(*sizes) if len(sizes) > 1 else sizes[0]
         self.mesh = mesh if mesh is not None else make_mesh(
-            tcfg.get("parallel", {}), batch_size=tcfg["batch_size"])
+            tcfg.get("parallel", {}), batch_size=bs)
 
         # params/state, with auto-resume
         self.model_fname = os.path.join(self.model_dir, "seq2seq.model")
@@ -211,7 +224,13 @@ class NN:
         epoch_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
 
         gen = self.data_loader.get_batch(
-            batch_size, set_key, train=True, labels=True)
+            batch_size, set_key, train=True, labels=True,
+            curriculum=tcfg.get("curriculum", False))
+        if jax.process_count() > 1:
+            from ast_tpu.parallel.multihost import (
+                fold_host_into_key, shard_batches_for_host)
+            gen = shard_batches_for_host(gen)
+            epoch_key = fold_host_into_key(epoch_key)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, True))
 
         for i, batch in enumerate(prefetch):
@@ -234,6 +253,9 @@ class NN:
         preds = []
         gen = self.data_loader.get_batch(
             batch_size, set_key, train=False, labels=False)
+        if jax.process_count() > 1:
+            from ast_tpu.parallel.multihost import shard_batches_for_host
+            gen = shard_batches_for_host(gen)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
         for batch in prefetch:
             p = self._predict_step(self.params, self.state, batch["X"])
