@@ -19,6 +19,9 @@ def main(argv=None):
     parser.add_argument("-m", "--cfg_path", required=True,
                         help="path for model config")
     parser.add_argument("-e", "--epochs", required=True, help="num epochs")
+    parser.add_argument("--profile", default=None, metavar="LOGDIR",
+                        help="capture a jax.profiler trace of the first "
+                             "training epoch into LOGDIR")
     args = parser.parse_args(argv)
 
     cfg_path = args.cfg_path
@@ -40,7 +43,12 @@ def main(argv=None):
         print(f"Experiment: {cfg_path:s} epoch: {epoch:d}")
         print("-" * 80)
 
-        epoch_loss = nn.train_epoch(train_key, epoch=epoch)
+        if args.profile and epoch == start_epoch:
+            from ast_tpu.utils.profiling import profile_trace
+            with profile_trace(args.profile):
+                epoch_loss = nn.train_epoch(train_key, epoch=epoch)
+        else:
+            epoch_loss = nn.train_epoch(train_key, epoch=epoch)
         with open(nn.train_log, mode="a") as train_log:
             train_log.write(f"{epoch:d}, {epoch_loss:.4f}\n")
 

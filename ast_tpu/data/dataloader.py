@@ -138,7 +138,7 @@ class DataLoader:
         return int(batch_size)
 
     def get_batch(self, batch_size, set_key, train, labels=False,
-                  pad_batch=True, curriculum=False):
+                  pad_batch=True, curriculum=False, _skip_speech=False):
         """Generator of statically-shaped batch dicts.
 
         Yields {"X": (B,T,D) f32, "y": (B,U) i32 [labels], "utts": [ids],
@@ -172,7 +172,10 @@ class DataLoader:
             T = max_sp if b == num_b - 1 else (b + 1) * width_b
             b_size = self._bucket_batch_size(batch_size, b, num_b)
             B = b_size if pad_batch else len(utts)
-            if self.text_mode:
+            if _skip_speech:
+                # raw-audio loaders assemble their own speech tensor
+                X = None
+            elif self.text_mode:
                 # text-encoder source: padded int token ids
                 w2i = self.vocab[self.enc_key]["w2i"]
                 X = np.full((B, T), SYMBOLS.PAD_ID, dtype=np.int32)
@@ -196,6 +199,8 @@ class DataLoader:
                 "n_real": len(utts),
                 "bucket": b,
             }
+            if _skip_speech:
+                batch["X_rows"] = B
 
             if labels:
                 U = self.target_len[set_key][b]
@@ -290,9 +295,13 @@ class GlobalPhoneDataLoader(DataLoader):
 
 
 def make_dataloader(train_cfg, model_dir):
-    """Loader factory keyed on ``data.dataloader`` (reference: nn.py:57-65)."""
+    """Loader factory keyed on ``data.dataloader`` (reference: nn.py:57-65)
+    and ``data.features`` ("wav" => on-device MFCC+CMVN pipeline)."""
     data_cfg = train_cfg["data"]
     seed = train_cfg.get("seed", "seed")
+    if data_cfg.get("features", "precomputed") == "wav":
+        from ast_tpu.data.wav_loader import WavDataLoader
+        return WavDataLoader(data_cfg, model_dir, seed)
     if data_cfg.get("dataloader") == "globalphone":
         return GlobalPhoneDataLoader(data_cfg, model_dir, seed)
     return FisherDataLoader(data_cfg, model_dir, seed)

@@ -1,0 +1,124 @@
+"""Raw-audio dataloader: features are computed ON DEVICE inside the
+jitted step (MFCC + per-speaker CMVN fused with the model forward).
+
+This replaces the reference's *offline* Kaldi feature chain
+(compute-mfcc-feats -> apply-cmvn -> text ark -> .npy files, SURVEY §2.4)
+with the TPU-native pipeline the north star describes: the loader ships
+padded raw audio + per-utterance CMVN statistics; `ast_tpu.ops.fbank`
+turns them into normalized 13-dim MFCC on the chip as a chain of MXU
+matmuls, fused by XLA into the encoder's first convolution.
+
+Select with ``data.features: "wav"``.  Layout:
+  <speech_path>/<set_key>/<utt>.npy   float32 1-D raw audio (8 kHz), or
+  <speech_path>/<set_key>/<utt>.wav   PCM wav (stdlib reader)
+  <speech_path>/cmvn.stats            optional pickle
+      {"utt2spk": {utt: spk}, "stats": {spk: {"mean": (13,), "std": (13,)}}}
+  absent stats => identity normalization.
+
+Bucketing still uses the info dict's frame counts ("sp"), so the batch
+shape policy is unchanged: bucket b carries T=(b+1)*width frames, i.e.
+(T-1)*shift + frame_len audio samples.
+"""
+
+import os
+import pickle
+import wave
+
+import numpy as np
+
+from ast_tpu.data.dataloader import FisherDataLoader
+from ast_tpu.ops.fbank import MfccConfig, num_frames
+
+
+def read_wav(path):
+    """PCM wav -> float32 mono in [-1, 1] (stdlib only)."""
+    with wave.open(path, "rb") as w:
+        n = w.getnframes()
+        raw = w.readframes(n)
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x
+
+
+def samples_for_frames(cfg: MfccConfig, t_frames: int) -> int:
+    """Audio samples needed to produce exactly ``t_frames`` frames."""
+    if t_frames <= 0:
+        return 0
+    return (t_frames - 1) * cfg.shift + cfg.frame_len
+
+
+class WavDataLoader(FisherDataLoader):
+    """Yields raw audio + CMVN stats instead of precomputed features.
+
+    Batch dict adds: "audio" (B, S) f32, "cmvn_mean"/"cmvn_std" (B, D);
+    "X" is absent — the trainer composes fbank+CMVN into the jitted step.
+    """
+
+    def __init__(self, data_cfg, model_dir, seed="seed", mfcc_cfg=None,
+                 cache_features=True):
+        super().__init__(data_cfg, model_dir, seed, cache_features)
+        self.mfcc_cfg = mfcc_cfg or MfccConfig()
+        stats_path = os.path.join(data_cfg["speech_path"], "cmvn.stats")
+        if os.path.exists(stats_path):
+            with open(stats_path, "rb") as f:
+                blob = pickle.load(f)
+            self.utt2spk = blob["utt2spk"]
+            self.cmvn = blob["stats"]
+        else:
+            self.utt2spk = {}
+            self.cmvn = {}
+
+    def _load_audio(self, utt, set_key):
+        key = (set_key, utt, "audio")
+        if self.cache_features and key in self._cache:
+            return self._cache[key]
+        base = os.path.join(self.data_cfg["speech_path"], set_key)
+        npy = os.path.join(base, f"{utt}.npy")
+        wav = os.path.join(base, f"{utt}.wav")
+        if os.path.exists(npy):
+            x = np.load(npy).astype(np.float32).reshape(-1)
+        else:
+            x = read_wav(wav)
+        if self.cache_features:
+            self._cache[key] = x
+        return x
+
+    def get_batch(self, batch_size, set_key, train, labels=False,
+                  pad_batch=True, curriculum=False):
+        D = self.mfcc_cfg.n_ceps
+        for batch in super().get_batch(batch_size, set_key, train, labels,
+                                       pad_batch, curriculum,
+                                       _skip_speech=True):
+            b = batch["bucket"]
+            num_b = self.buckets[set_key]["num_b"]
+            width_b = self.buckets[set_key]["width_b"]
+            T = ((num_b + 1) * width_b if b == num_b - 1
+                 else (b + 1) * width_b)
+            S = samples_for_frames(self.mfcc_cfg, T)
+            B = batch["X_rows"]
+            audio = np.zeros((B, S), dtype=np.float32)
+            mean = np.zeros((B, D), dtype=np.float32)
+            std = np.ones((B, D), dtype=np.float32)
+            for j, u in enumerate(batch["utts"]):
+                x = self._load_audio(u, set_key)[:S]
+                audio[j, : len(x)] = x
+                spk = self.utt2spk.get(u)
+                if spk is not None and spk in self.cmvn:
+                    mean[j] = self.cmvn[spk]["mean"]
+                    std[j] = self.cmvn[spk]["std"]
+            batch.pop("X", None)
+            batch.pop("X_rows", None)
+            batch["audio"] = audio
+            batch["cmvn_mean"] = mean
+            batch["cmvn_std"] = std
+            batch["n_frames"] = T
+            yield batch

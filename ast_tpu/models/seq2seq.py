@@ -421,7 +421,8 @@ def decode_step(params, mcfg, enc_states, carry, token, key, train,
 
     ht, alphas = luong_attention(params["attn"], enc_states, x,
                                  enc_mask=enc_mask,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 block_size=rnn.get("attn_block_size", 0))
     logits = jnp.dot(ht.astype(compute_dtype),
                      params["dec"]["out_w"].astype(compute_dtype),
                      preferred_element_type=jnp.float32) \

@@ -30,8 +30,10 @@ perfectly onto the MXU.  Layer-0 input-weight gradients flow through the
 hoisted x0_proj einsum's own autodiff via the returned dx0.
 
 Dropout masks are regenerated deterministically in-kernel from
-(seed, t, l) with the TPU PRNG, so forward and backward agree without
-storing masks.  Gate order matches ast_tpu.ops.lstm: [i, f, g, o].
+(seed, t, l) with a counter-based integer hash (pure jnp — works both
+compiled and in CPU interpret mode), so forward and backward agree
+without storing masks.  Gate order matches ast_tpu.ops.lstm:
+[i, f, g, o].
 """
 
 import functools

@@ -55,11 +55,10 @@ def batch_spec(mesh, x):
 
 
 def shard_batch(batch, mesh):
-    """device_put a host batch with data-parallel sharding."""
-    return {
-        k: jax.device_put(v, batch_spec(mesh, v))
-        for k, v in batch.items()
-    }
+    """device_put a host batch (pytree) with data-parallel sharding on
+    every array leaf's leading axis."""
+    return jax.tree.map(
+        lambda v: jax.device_put(v, batch_spec(mesh, v)), batch)
 
 
 def _param_pspec(path, leaf, model_parallel):

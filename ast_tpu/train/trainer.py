@@ -96,6 +96,14 @@ class NN:
 
         self.data_loader = make_dataloader(tcfg, self.model_dir)
 
+        # on-device feature extraction mode: the loader ships raw audio +
+        # CMVN stats; MFCC+CMVN run fused inside the jitted step
+        self.wav_mode = tcfg["data"].get("features",
+                                         "precomputed") == "wav"
+        if self.wav_mode:
+            from ast_tpu.ops.fbank import MfccExtractor
+            self._mfcc = MfccExtractor()
+
         # mesh: data-parallel axis over local devices (1 device => trivial).
         # With legacy per-bucket batch sizes every size must shard evenly,
         # so the divisibility constraint is their gcd.
@@ -153,7 +161,12 @@ class NN:
         opt = self.opt
         compute_dtype = self.compute_dtype
 
+        featurize = self._featurize if self.wav_mode else None
+
         def step(params, state, opt_state, X, y, n_real, key):
+            if featurize is not None:
+                X = featurize(X)
+
             def loss_fn(p):
                 return seq2seq.forward_loss(
                     p, state, mcfg, X, y, key, train=True, n_real=n_real,
@@ -180,7 +193,11 @@ class NN:
         compute_dtype = self.compute_dtype
         stop_limit = self.cfg.train["data"]["max_pred"]
 
+        featurize = self._featurize if self.wav_mode else None
+
         def step(params, state, X):
+            if featurize is not None:
+                X = featurize(X)
             preds, _ = seq2seq.predict_greedy(
                 params, state, mcfg, X, stop_limit, compute_dtype)
             return preds
@@ -190,12 +207,24 @@ class NN:
             return shard_eval_step(step, self.mesh)
         return jax.jit(step)
 
+    def _featurize(self, X):
+        """(audio (B,S), cmvn mean/std (B,D)) -> normalized MFCC (B,T,D),
+        traced inside the jitted step so XLA fuses it with the encoder."""
+        audio, mean, std = X
+        feats = self._mfcc(audio)
+        return (feats - mean[:, None, :]) / std[:, None, :]
+
     # ------------------------------------------------------------------
     # epoch loops
     # ------------------------------------------------------------------
     def _device_batch(self, batch, labels=True):
+        if self.wav_mode:
+            x_val = (batch["audio"], batch["cmvn_mean"],
+                     batch["cmvn_std"])
+        else:
+            x_val = batch["X"]
         out = {
-            "X": batch["X"],
+            "X": x_val,
             "n_real": np.float32(batch["n_real"]),
         }
         if labels:
@@ -233,6 +262,10 @@ class NN:
             epoch_key = fold_host_into_key(epoch_key)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, True))
 
+        # in-epoch crash-recovery snapshots (the reference only
+        # checkpoints at epoch boundaries — SURVEY §5 failure detection)
+        ckpt_steps = tcfg.get("checkpoint_steps", 0)
+
         for i, batch in enumerate(prefetch):
             key = jax.random.fold_in(epoch_key, i)
             self.timer.start()
@@ -245,8 +278,20 @@ class NN:
             self.timer.stop(n_items=len(batch["utts"]))
             total_loss += loss_val
             n_batches += 1
+            if ckpt_steps and (i + 1) % ckpt_steps == 0:
+                self.save_inflight(epoch, i + 1)
 
         return total_loss / max(1, n_batches)
+
+    def save_inflight(self, epoch, step):
+        """Atomic mid-epoch snapshot for crash recovery."""
+        import numpy as _np
+        path = os.path.join(self.model_dir, "seq2seq_inflight.npz")
+        tmp = path + ".tmp.npz"
+        save_checkpoint(tmp[:-4], self.params, self.state, self.opt_state,
+                        extra={"epoch": _np.int64(epoch),
+                               "step": _np.int64(step)})
+        os.replace(tmp, path)
 
     def predict(self, set_key):
         batch_size = self.cfg.train["batch_size"]
@@ -279,8 +324,10 @@ class NN:
             self.mcfg, N=N, K=K, stop_limit=stop_limit,
             compute_dtype=self.compute_dtype)
         for batch in prefetch:
-            hyps, scores, lengths = decode(self.params, self.state,
-                                           batch["X"])
+            X = batch["X"]
+            if self.wav_mode:
+                X = jax.jit(self._featurize)(X)
+            hyps, scores, lengths = decode(self.params, self.state, X)
             hyps = np.asarray(hyps)
             scores = np.asarray(scores)
             lengths = np.asarray(lengths)

@@ -101,18 +101,12 @@ def bench_train_step(n_steps=30, B=32, T=640, U=48,
 def bench_reference_style(n_steps=2, B=32, T=640, U=48):
     """Reference-execution-model stand-in: per-timestep op dispatch, no
     jit over the loops — the Chainer/CuPy pattern on this chip."""
-    from ast_tpu.models import seq2seq as M
     from ast_tpu.ops.lstm import lstm_gates
 
     mcfg, params, state = _flagship(fused=False)
     rnn = mcfg["rnn_config"]
     enc_units = rnn["hidden_units"] // 2
     X, y = _batch(B, T, U)
-
-    conv = jax.jit(
-        lambda p, s, X: M.encode.__wrapped__(p, s, mcfg, X)
-        if hasattr(M.encode, "__wrapped__") else None
-    )
 
     from ast_tpu.ops.cnn import conv_frontend
 
