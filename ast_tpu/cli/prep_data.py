@@ -1,0 +1,175 @@
+"""Data preparation CLI — the offline pipeline as one tool.
+
+Replaces the reference's shell-script chain (linking_files/*.sh driving
+Kaldi binaries + kaldi_io.py + prep_speech_segments.py + preprocess_gp.py
+— SURVEY §3.5) with subcommands over in-repo implementations, so the
+stripped data blobs (fisher.map / *.info — .MISSING_LARGE_BLOBS) are
+regenerable end to end:
+
+  ark-to-conv    text ark -> per-conversation .np pickles (C++ fast path)
+  merge-segments conversation pickles + segment lists -> per-utt .npy
+  mfcc           raw audio dir -> per-utt MFCC .npy (on-device extractor)
+  cmvn           feature dir + utt2spk -> cmvn.stats pickle
+  learn-bpe      tokenized text -> BPE codes
+  build-dicts    corpus dir -> map/vocab/info/data pickles + refs
+
+Usage: python -m ast_tpu.cli.prep_data <subcommand> [args]
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def cmd_ark_to_conv(args):
+    from ast_tpu.data.kaldi_ark import ark_to_conversation_pickles
+    n = ark_to_conversation_pickles(args.ark, args.out_dir)
+    print(f"wrote {n} conversation pickles to {args.out_dir}")
+
+
+def cmd_merge_segments(args):
+    """Concatenate per-segment features into per-utterance .npy files.
+
+    ``--map`` points at a pickle {utt: {"seg": [segment ids]}} (the
+    reference's map layout, prep_speech_segments.py:23-70); segments are
+    looked up across all conversation pickles in ``--conv_dir``.
+    """
+    from ast_tpu.data.kaldi_ark import merge_segments
+    with open(args.map, "rb") as f:
+        seg_map = pickle.load(f)
+    # load all conversation pickles into one dict
+    seg_data = {}
+    for fname in sorted(os.listdir(args.conv_dir)):
+        if fname.endswith(".np"):
+            with open(os.path.join(args.conv_dir, fname), "rb") as f:
+                seg_data.update(pickle.load(f))
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for utt, entry in seg_map.items():
+        segs = entry["seg"] if isinstance(entry, dict) else entry
+        arrays = [seg_data[s] for s in segs if s in seg_data]
+        if not arrays:
+            print(f"warning: no segments found for {utt}", file=sys.stderr)
+            continue
+        np.save(os.path.join(args.out_dir, f"{utt}.npy"),
+                merge_segments(arrays))
+        n += 1
+    print(f"wrote {n} utterance feature files to {args.out_dir}")
+
+
+def cmd_mfcc(args):
+    from ast_tpu.data.wav_loader import read_wav
+    from ast_tpu.ops.fbank import MfccExtractor
+    ext = MfccExtractor()
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for fname in sorted(os.listdir(args.audio_dir)):
+        path = os.path.join(args.audio_dir, fname)
+        if fname.endswith(".wav"):
+            audio = read_wav(path)
+        elif fname.endswith(".npy"):
+            audio = np.load(path).astype(np.float32).reshape(-1)
+        else:
+            continue
+        feats = np.asarray(ext(audio[None]))[0]
+        np.save(os.path.join(args.out_dir,
+                             fname.rsplit(".", 1)[0] + ".npy"), feats)
+        n += 1
+    print(f"extracted MFCC for {n} files into {args.out_dir}")
+
+
+def cmd_cmvn(args):
+    """Per-speaker CMVN statistics (reference: compute_cmvn_stats.sh +
+    apply-cmvn --norm-vars=true, SURVEY §2.4)."""
+    from ast_tpu.ops.fbank import compute_cmvn_stats
+    utt2spk = {}
+    with open(args.utt2spk) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                utt2spk[parts[0]] = parts[1]
+    by_spk = {}
+    for fname in sorted(os.listdir(args.feat_dir)):
+        if not fname.endswith(".npy"):
+            continue
+        utt = fname[:-4]
+        spk = utt2spk.get(utt)
+        if spk is None:
+            continue
+        by_spk.setdefault(spk, []).append(
+            np.load(os.path.join(args.feat_dir, fname)))
+    stats = {spk: compute_cmvn_stats(arrays)
+             for spk, arrays in by_spk.items()}
+    out = os.path.join(args.feat_dir, "cmvn.stats")
+    with open(out, "wb") as f:
+        pickle.dump({"utt2spk": utt2spk, "stats": stats}, f)
+    print(f"wrote per-speaker CMVN stats for {len(stats)} speakers: {out}")
+
+
+def cmd_learn_bpe(args):
+    from ast_tpu.data.bpe import learn_bpe, save_merges
+    corpus = []
+    with open(args.text, encoding="utf-8") as f:
+        for line in f:
+            corpus.append(line.split())
+    merges = learn_bpe(corpus, num_merges=args.merges)
+    save_merges(merges, args.out)
+    print(f"learned {len(merges)} merges -> {args.out}")
+
+
+def cmd_build_dicts(args):
+    from ast_tpu.data.preprocess import prepare_corpus
+    paths = prepare_corpus(args.in_path, args.out_path,
+                           bpe_merges=args.merges,
+                           sets=tuple(args.sets.split(",")))
+    for k, v in paths.items():
+        print(f"{k}: {v}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ark-to-conv")
+    p.add_argument("ark")
+    p.add_argument("out_dir")
+    p.set_defaults(fn=cmd_ark_to_conv)
+
+    p = sub.add_parser("merge-segments")
+    p.add_argument("--map", required=True)
+    p.add_argument("--conv_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.set_defaults(fn=cmd_merge_segments)
+
+    p = sub.add_parser("mfcc")
+    p.add_argument("audio_dir")
+    p.add_argument("out_dir")
+    p.set_defaults(fn=cmd_mfcc)
+
+    p = sub.add_parser("cmvn")
+    p.add_argument("--feat_dir", required=True)
+    p.add_argument("--utt2spk", required=True)
+    p.set_defaults(fn=cmd_cmvn)
+
+    p = sub.add_parser("learn-bpe")
+    p.add_argument("text")
+    p.add_argument("out")
+    p.add_argument("--merges", type=int, default=1000)
+    p.set_defaults(fn=cmd_learn_bpe)
+
+    p = sub.add_parser("build-dicts")
+    p.add_argument("in_path")
+    p.add_argument("out_path")
+    p.add_argument("--merges", type=int, default=1000)
+    p.add_argument("--sets", default="train,dev,test")
+    p.set_defaults(fn=cmd_build_dicts)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,9 +120,10 @@ def _fwd_kernel(L, D2, B, H, train, drop_rate, *refs):
         i, f, g, o, c_new, h_new = _apply_gates(z, c_s[l], H)
 
         if train:
-            acts_ref[0, l] = jnp.concatenate([i, f, g, o], axis=-1)
-            call_ref[0, l] = c_new
-            hpre_ref[0, l] = h_new
+            acts_ref[0, l] = jnp.concatenate(
+                [i, f, g, o], axis=-1).astype(acts_ref.dtype)
+            call_ref[0, l] = c_new.astype(call_ref.dtype)
+            hpre_ref[0, l] = h_new.astype(hpre_ref.dtype)
 
         if train and drop_rate > 0:
             keep = _drop_mask((D2, B, H), drop_rate,
@@ -132,7 +133,7 @@ def _fwd_kernel(L, D2, B, H, train, drop_rate, *refs):
             x_out = h_new
 
         if train:
-            xdrop_ref[0, l] = x_out
+            xdrop_ref[0, l] = x_out.astype(xdrop_ref.dtype)
 
         h_s[l] = h_new
         c_s[l] = c_new
@@ -174,13 +175,13 @@ def _bwd_kernel(L, D2, B, H, drop_rate,
 
         dh = dh_s[l] + cons                              # (D2, B, H)
 
-        acts = acts_ref[0, l]                            # (D2, B, 4H)
+        acts = acts_ref[0, l].astype(jnp.float32)        # (D2, B, 4H)
         i = acts[..., :H]
         f = acts[..., H:2 * H]
         g = acts[..., 2 * H:3 * H]
         o = acts[..., 3 * H:]
-        c_new = call_ref[0, l]
-        c_prev = cprev_ref[0, l]
+        c_new = call_ref[0, l].astype(jnp.float32)
+        c_prev = cprev_ref[0, l].astype(jnp.float32)
 
         tanh_c = jnp.tanh(c_new)
         do = dh * tanh_c
@@ -196,7 +197,7 @@ def _bwd_kernel(L, D2, B, H, drop_rate,
             dg * (1.0 - g * g),
             do * o * (1.0 - o),
         ], axis=-1)                                      # (D2, B, 4H)
-        dz_ref[0, l] = dz
+        dz_ref[0, l] = dz.astype(dz_ref.dtype)
 
         dh_prev_dirs = []
         dx_dirs = []
@@ -220,6 +221,9 @@ def _forward(x0_proj, wx, wh, b, seed, train, drop_rate, interpret):
     H = H4 // 4
     L = wh.shape[0]
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    # residual streams inherit the weight dtype: bf16 weights => bf16
+    # activations in HBM, halving backward-pass memory traffic
+    res_dtype = wh.dtype
 
     kern = functools.partial(_fwd_kernel, L, D2, B, H, train, drop_rate)
 
@@ -239,10 +243,10 @@ def _forward(x0_proj, wx, wh, b, seed, train, drop_rate, interpret):
     out_specs = [t_block(D2, B, H), full(), full()]
     if train:
         out_shapes += [
-            jax.ShapeDtypeStruct((T, L, D2, B, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((T, L, D2, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, L, D2, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, L, D2, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, L, D2, B, 4 * H), res_dtype),
+            jax.ShapeDtypeStruct((T, L, D2, B, H), res_dtype),
+            jax.ShapeDtypeStruct((T, L, D2, B, H), res_dtype),
+            jax.ShapeDtypeStruct((T, L, D2, B, H), res_dtype),
         ]
         out_specs += [t_block(L, D2, B, 4 * H), t_block(L, D2, B, H),
                       t_block(L, D2, B, H), t_block(L, D2, B, H)]
@@ -321,7 +325,7 @@ def _bwd_rule(train, drop_rate, interpret, residuals, cotangents):
         ],
         out_specs=[rev_t(L, D2, B, 4 * H)],
         out_shape=[jax.ShapeDtypeStruct((T, L, D2, B, 4 * H),
-                                        jnp.float32)],
+                                        acts.dtype)],
         scratch_shapes=[
             pltpu.VMEM((L, D2, B, H), jnp.float32),
             pltpu.VMEM((L, D2, B, H), jnp.float32),
@@ -336,8 +340,8 @@ def _bwd_rule(train, drop_rate, interpret, residuals, cotangents):
                      preferred_element_type=jnp.float32)
     dwx = jnp.einsum("tldbh,tldbk->ldhk", x_drop[:, :-1], dz[:, 1:],
                      preferred_element_type=jnp.float32)
-    db = jnp.sum(dz, axis=(0, 3))
-    dx0 = dz[:, 0]                                     # (T, D2, B, 4H)
+    db = jnp.sum(dz.astype(jnp.float32), axis=(0, 3))
+    dx0 = dz[:, 0].astype(jnp.float32)                 # (T, D2, B, 4H)
     return dx0, dwx, dwh, db, None
 
 
@@ -360,7 +364,8 @@ def fused_fits(L, D2, B, H, weight_bytes=4):
     if H % 128 != 0 or B % 8 != 0:
         return False
     weights = (2 * L - 1) * D2 * H * 4 * H * weight_bytes
-    act_block = L * D2 * B * 4 * H * 4          # one (1,L,D2,B,4H) f32
+    # residual streams inherit the weight dtype (see _forward)
+    act_block = L * D2 * B * 4 * H * weight_bytes
     state = 4 * L * D2 * B * H * 4              # dh/dc scratch + fins
     est = weights + 4 * act_block + state + 2 * L * D2 * B * H * 4 * 3
     return est < VMEM_BUDGET
