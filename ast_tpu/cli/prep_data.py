@@ -34,37 +34,66 @@ def cmd_merge_segments(args):
     """Concatenate per-segment features into per-utterance .npy files.
 
     ``--map`` points at a pickle {utt: {"seg": [segment ids]}} (the
-    reference's map layout, prep_speech_segments.py:23-70); segments are
-    looked up across all conversation pickles in ``--conv_dir``.
+    reference's map layout, prep_speech_segments.py:23-70).  Conversation
+    pickles are loaded on demand (one at a time) using the segment-id
+    convention ``conv = seg.rsplit('-', 2)[0]``, so memory stays
+    O(one conversation).  An utterance with ANY missing segment is
+    skipped loudly — truncated feature files silently corrupt training.
     """
     from ast_tpu.data.kaldi_ark import merge_segments
     with open(args.map, "rb") as f:
         seg_map = pickle.load(f)
-    # load all conversation pickles into one dict
-    seg_data = {}
-    for fname in sorted(os.listdir(args.conv_dir)):
-        if fname.endswith(".np"):
-            with open(os.path.join(args.conv_dir, fname), "rb") as f:
-                seg_data.update(pickle.load(f))
     os.makedirs(args.out_dir, exist_ok=True)
-    n = 0
+
+    conv_cache = {}
+
+    def load_conv(conv):
+        if conv not in conv_cache:
+            conv_cache.clear()  # one conversation resident at a time
+            path = os.path.join(args.conv_dir, conv + ".np")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    conv_cache[conv] = pickle.load(f)
+            else:
+                conv_cache[conv] = {}
+        return conv_cache[conv]
+
+    n, n_skipped = 0, 0
+    # group utterances by conversation so each pickle loads once
+    by_conv = {}
     for utt, entry in seg_map.items():
         segs = entry["seg"] if isinstance(entry, dict) else entry
-        arrays = [seg_data[s] for s in segs if s in seg_data]
-        if not arrays:
-            print(f"warning: no segments found for {utt}", file=sys.stderr)
-            continue
-        np.save(os.path.join(args.out_dir, f"{utt}.npy"),
-                merge_segments(arrays))
-        n += 1
-    print(f"wrote {n} utterance feature files to {args.out_dir}")
+        conv = segs[0].rsplit("-", 2)[0] if segs else ""
+        by_conv.setdefault(conv, []).append((utt, segs))
+
+    for conv in sorted(by_conv):
+        data = load_conv(conv)
+        for utt, segs in by_conv[conv]:
+            missing = [s for s in segs if s not in data]
+            if missing:
+                print(f"warning: skipping {utt}: missing segments "
+                      f"{missing}", file=sys.stderr)
+                n_skipped += 1
+                continue
+            np.save(os.path.join(args.out_dir, f"{utt}.npy"),
+                    merge_segments([data[s] for s in segs]))
+            n += 1
+    print(f"wrote {n} utterance feature files to {args.out_dir}"
+          + (f" ({n_skipped} skipped: missing segments)" if n_skipped
+             else ""))
+    if n_skipped and not args.allow_missing:
+        sys.exit(f"error: {n_skipped} utterances had missing segments "
+                 "(pass --allow-missing to proceed anyway)")
 
 
 def cmd_mfcc(args):
     from ast_tpu.data.wav_loader import read_wav
-    from ast_tpu.ops.fbank import MfccExtractor
+    from ast_tpu.ops.fbank import MfccExtractor, num_frames
     ext = MfccExtractor()
     os.makedirs(args.out_dir, exist_ok=True)
+    # pad audio to bucketed sample counts (1 s granularity) so XLA
+    # compiles a handful of shapes instead of one per file length
+    bucket = ext.cfg.sample_rate
     n = 0
     for fname in sorted(os.listdir(args.audio_dir)):
         path = os.path.join(args.audio_dir, fname)
@@ -74,7 +103,10 @@ def cmd_mfcc(args):
             audio = np.load(path).astype(np.float32).reshape(-1)
         else:
             continue
-        feats = np.asarray(ext(audio[None]))[0]
+        true_frames = num_frames(ext.cfg, len(audio))
+        padded = int(-(-len(audio) // bucket)) * bucket
+        audio = np.pad(audio, (0, padded - len(audio)))
+        feats = np.asarray(ext(audio[None]))[0][:true_frames]
         np.save(os.path.join(args.out_dir,
                              fname.rsplit(".", 1)[0] + ".npy"), feats)
         n += 1
@@ -142,6 +174,9 @@ def main(argv=None):
     p.add_argument("--map", required=True)
     p.add_argument("--conv_dir", required=True)
     p.add_argument("--out_dir", required=True)
+    p.add_argument("--allow-missing", action="store_true",
+                   help="write what exists even if some utterances "
+                        "have missing segments")
     p.set_defaults(fn=cmd_merge_segments)
 
     p = sub.add_parser("mfcc")

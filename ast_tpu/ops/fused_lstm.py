@@ -364,10 +364,16 @@ def fused_fits(L, D2, B, H, weight_bytes=4):
     if H % 128 != 0 or B % 8 != 0:
         return False
     weights = (2 * L - 1) * D2 * H * 4 * H * weight_bytes
-    # residual streams inherit the weight dtype (see _forward)
-    act_block = L * D2 * B * 4 * H * weight_bytes
+    # backward-pass VMEM: double-buffered input streams (acts 4H +
+    # c_all/c_prev H each, in the weight dtype; douts H in f32), the dz
+    # output block, dh/dc scratch and the dh_fin/dc_fin inputs.
+    # Calibrated against observed Mosaic behavior: f32 B=32 and bf16
+    # B<=64 compile on v5e, bf16 B=128 exceeds scoped VMEM.
+    in_stream = (L * D2 * B * H * 6 * weight_bytes + D2 * B * H * 4)
+    out_stream = L * D2 * B * 4 * H * weight_bytes
     state = 4 * L * D2 * B * H * 4              # dh/dc scratch + fins
-    est = weights + 4 * act_block + state + 2 * L * D2 * B * H * 4 * 3
+    est = (weights + 2 * in_stream + out_stream + state
+           + 2 * L * D2 * B * H * 4 * 3)
     return est < VMEM_BUDGET
 
 

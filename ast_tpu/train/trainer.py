@@ -249,7 +249,9 @@ class NN:
                 tcfg["extras"]["weight_noise_mean"],
                 tcfg["extras"]["weight_noise_sigma"])
 
-        total_loss, n_batches = 0.0, 0
+        # device-side loss accumulation: converting per step would force a
+        # host sync per batch and stall the dispatch pipeline
+        losses, sizes = [], []
         epoch_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
 
         gen = self.data_loader.get_batch(
@@ -266,22 +268,28 @@ class NN:
         # checkpoints at epoch boundaries — SURVEY §5 failure detection)
         ckpt_steps = tcfg.get("checkpoint_steps", 0)
 
+        import time as _time
+        t_epoch = _time.perf_counter()
         for i, batch in enumerate(prefetch):
             key = jax.random.fold_in(epoch_key, i)
-            self.timer.start()
             self.params, self.state, self.opt_state, loss = self._train_step(
                 self.params, self.state, self.opt_state,
                 batch["X"], batch["y"], batch["n_real"], key)
-            # loss reporting normalized by true batch rows, matching the
-            # current reference path (nn.py:189 divides by batch size)
-            loss_val = float(loss) / max(1, len(batch["utts"]))
-            self.timer.stop(n_items=len(batch["utts"]))
-            total_loss += loss_val
-            n_batches += 1
+            losses.append(loss)
+            sizes.append(max(1, len(batch["utts"])))
             if ckpt_steps and (i + 1) % ckpt_steps == 0:
                 self.save_inflight(epoch, i + 1)
 
-        return total_loss / max(1, n_batches)
+        if not losses:
+            return 0.0
+        # loss reporting normalized by true batch rows, matching the
+        # current reference path (nn.py:189 divides by batch size).
+        # device_get is the real sync point — throughput is attributed
+        # over the whole epoch including the queue drain.
+        vals = [float(v) for v in jax.device_get(losses)]
+        self.timer.add(_time.perf_counter() - t_epoch, sum(sizes),
+                       len(losses))
+        return sum(v / s for v, s in zip(vals, sizes)) / len(vals)
 
     def save_inflight(self, epoch, step):
         """Atomic mid-epoch snapshot for crash recovery."""

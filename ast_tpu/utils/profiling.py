@@ -35,6 +35,14 @@ class StepTimer:
         self.total_items += n_items
         self.n_steps += 1
 
+    def add(self, dt, n_items, n_steps=1):
+        """Record an externally-timed region (e.g. a whole epoch measured
+        wall-clock including the final device sync — per-step stop() on
+        async dispatch would measure enqueue rate, not execution)."""
+        self.total_time += dt
+        self.total_items += n_items
+        self.n_steps += n_steps
+
     @property
     def items_per_sec(self):
         return self.total_items / self.total_time if self.total_time else 0.0

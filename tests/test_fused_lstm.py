@@ -120,6 +120,32 @@ def test_kernel_grads_vs_autodiff_direct():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_kernel_bf16_residuals_grads_close():
+    """bf16 weights => bf16 residual streams; gradients must stay close
+    to the f32 kernel path (bf16-level tolerance)."""
+    L, D2, B, H, T = 2, 2, 3, 4, 6
+    rng = np.random.RandomState(1)
+    x0 = jnp.asarray(rng.randn(T, D2, B, 4 * H), jnp.float32)
+    wx = jnp.asarray(rng.randn(L - 1, D2, H, 4 * H) * 0.3, jnp.float32)
+    wh = jnp.asarray(rng.randn(L, D2, H, 4 * H) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.randn(L, D2, 4 * H) * 0.1, jnp.float32)
+
+    def loss(args, dtype):
+        x0, wx, wh, b = args
+        outs, hf, cf = fused_stacked_lstm(
+            x0, wx.astype(dtype), wh.astype(dtype), b, 0, False, 0.0, True)
+        return jnp.sum(outs * 0.7) + jnp.sum(hf) + 0.5 * jnp.sum(cf)
+
+    args = (x0, wx, wh, b)
+    v32, g32 = jax.value_and_grad(lambda a: loss(a, jnp.float32))(args)
+    v16, g16 = jax.value_and_grad(lambda a: loss(a, jnp.bfloat16))(args)
+    assert abs(float(v32) - float(v16)) / max(1.0, abs(float(v32))) < 2e-2
+    for a, b_ in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        a, b_ = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        denom = np.maximum(np.abs(a), 1.0)
+        assert np.max(np.abs(a - b_) / denom) < 5e-2
+
+
 def test_dropout_path_finite(setup):
     params, state, X, y = setup
     mcfg = _mcfg(True, dropout=0.3)
