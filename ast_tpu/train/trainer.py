@@ -301,6 +301,36 @@ class NN:
                                "step": _np.int64(step)})
         os.replace(tmp, path)
 
+    def eval_loss(self, set_key):
+        """Teacher-forced loss on a split without updating anything —
+        the legacy harness's dev-loss pass (reference: nmt_run.py:909,
+        feed_model with train=False)."""
+        mcfg = self.mcfg
+        compute_dtype = self.compute_dtype
+        featurize = self._featurize if self.wav_mode else None
+
+        @jax.jit
+        def loss_step(params, state, X, y, n_real):
+            if featurize is not None:
+                X = featurize(X)
+            loss, _ = seq2seq.forward_loss(
+                params, state, mcfg, X, y, jax.random.PRNGKey(0),
+                train=False, n_real=n_real, compute_dtype=compute_dtype)
+            return loss
+
+        losses, sizes = [], []
+        gen = self.data_loader.get_batch(
+            self.cfg.train["batch_size"], set_key, train=False, labels=True)
+        prefetch = Prefetcher(gen, lambda b: self._device_batch(b, True))
+        for batch in prefetch:
+            losses.append(loss_step(self.params, self.state, batch["X"],
+                                    batch["y"], batch["n_real"]))
+            sizes.append(max(1, len(batch["utts"])))
+        if not losses:
+            return 0.0
+        vals = [float(v) for v in jax.device_get(losses)]
+        return sum(v / s for v, s in zip(vals, sizes)) / len(vals)
+
     def predict(self, set_key):
         batch_size = self.cfg.train["batch_size"]
         preds = []
