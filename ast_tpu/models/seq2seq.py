@@ -465,6 +465,13 @@ def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
     enc_states, dec_h0, dec_c0, new_state = encode(
         params, state, mcfg, X, ekey, train, add_noise, compute_dtype)
 
+    if _use_fused_decoder(mcfg, params, enc_states, y, compute_dtype,
+                          enc_mask):
+        loss = _fused_decoder_loss(
+            params, mcfg, enc_states, dec_h0, dec_c0, y, key, train,
+            n_real, teach_ratio, random_out, compute_dtype)
+        return loss, new_state
+
     carry0 = init_decoder_carry(mcfg, dec_h0, dec_c0)
     yT = y.T  # (U, B)
     steps = U - 1
@@ -511,6 +518,109 @@ def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
         step, (carry0, yT[0]), (idx, step_keys),
         unroll=mcfg["rnn_config"].get("scan_unroll", 1))
     return jnp.sum(step_losses), new_state
+
+
+def _use_fused_decoder(mcfg, params, enc_states, y, compute_dtype,
+                       enc_mask):
+    """Eligibility for the Pallas fused decoder training kernel."""
+    rnn = mcfg["rnn_config"]
+    if not rnn.get("fused_decoder", False) or enc_mask is not None:
+        return False
+    if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
+            or rnn.get("ln", False) or mcfg["dropout"].get("out", 0) > 0
+            or rnn.get("attn_block_size", 0)):
+        return False
+    if rnn.get("fused_interpret", False):
+        return True  # interpret-mode tests bypass the alignment gate
+    from ast_tpu.ops.fused_decoder import fused_decoder_fits, round_up
+    B, T, H = enc_states.shape
+    L = rnn["dec_layers"]
+    E = rnn["embedding_units"]
+    A = rnn["attn_units"]
+    Vp = round_up(rnn["dec_vocab_size"], 128)
+    wb = 2 if compute_dtype != jnp.float32 else 4
+    return fused_decoder_fits(L, B, H, E, A, T, Vp, wb)
+
+
+def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
+                        train, n_real, teach_ratio, random_out,
+                        compute_dtype):
+    """Decoder loss via the fused Pallas kernel (see ops/fused_decoder):
+    the kernel streams attentional hidden states; loss logits are one
+    large matmul here."""
+    from ast_tpu.ops.fused_decoder import fused_decoder_apply, round_up
+
+    rnn = mcfg["rnn_config"]
+    B, U = y.shape
+    V = rnn["dec_vocab_size"]
+    Vp = round_up(V, 128)
+    steps = U - 1
+    wdt = compute_dtype
+
+    k_coin, k_seed, k_rand1, k_rand2 = jax.random.split(key, 4)
+
+    # scheduled-sampling coins: one per step, first/last forced
+    # (reference: seq2seq.py:423-436)
+    if train and teach_ratio < 1.0:
+        idx = jnp.arange(steps)
+        coins = ((idx == 0) | (idx >= steps - 1)
+                 | jax.random.bernoulli(k_coin, teach_ratio, (steps,)))
+    else:
+        coins = jnp.ones((steps,), bool)
+    coins = coins.astype(jnp.int32)
+
+    yT = y.T
+    y_in = yT[:steps]
+    y_oh = jax.nn.one_hot(y_in, Vp, dtype=wdt)
+
+    dec = params["dec"]
+    attn = params["attn"]
+    padV = Vp - V
+    w = {
+        "wx0": dec["lstm"][0]["wx"].astype(wdt),
+        "wx_rest": jnp.stack(
+            [l["wx"] for l in dec["lstm"][1:]]).astype(wdt)
+        if len(dec["lstm"]) > 1 else
+        jnp.zeros((0,) + dec["lstm"][0]["wh"].shape, wdt),
+        "wh": jnp.stack([l["wh"] for l in dec["lstm"]]).astype(wdt),
+        "b": jnp.stack([l["b"] for l in dec["lstm"]]).astype(wdt),
+        "wa": attn["wa"][0]["w"].astype(wdt),
+        "wa_b": attn["wa"][0]["b"].astype(wdt),
+        "ctx_w": attn["context"]["w"].astype(wdt),
+        "ctx_b": attn["context"]["b"].astype(wdt),
+        "out_w": jnp.pad(dec["out_w"], ((0, 0), (0, padV))).astype(wdt),
+        "out_b": jnp.pad(dec["out_b"], (0, padV),
+                         constant_values=-1e9).astype(wdt),
+        "embed": jnp.pad(dec["embed"], ((0, padV), (0, 0))).astype(wdt),
+    }
+    seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32)
+
+    ht_seq = fused_decoder_apply(
+        enc_states.astype(wdt), dec_h0, dec_c0,
+        w["wx0"], w["wx_rest"], w["wh"], w["b"], w["wa"], w["wa_b"],
+        w["ctx_w"], w["ctx_b"], w["out_w"], w["out_b"], w["embed"],
+        y_oh, coins, seed,
+        float(mcfg["dropout"]["embed"]) if train else 0.0,
+        float(mcfg["dropout"]["rnn"]) if train else 0.0,
+        bool(train), bool(rnn.get("fused_interpret", False)))
+
+    # loss logits: one large (steps*B, A) @ (A, V) matmul
+    logits = jnp.einsum(
+        "uba,av->ubv", ht_seq.astype(wdt), dec["out_w"].astype(wdt),
+        preferred_element_type=jnp.float32) + dec["out_b"]
+
+    target = yT[1:]                                      # (steps, B)
+    if train and random_out > 0:
+        replace = (target >= SYMBOLS.N_SPECIAL) & (
+            jax.random.uniform(k_rand1, target.shape) > random_out)
+        rand_ids = jax.random.randint(
+            k_rand2, target.shape, SYMBOLS.N_SPECIAL, V).astype(jnp.int32)
+        target = jnp.where(replace, rand_ids, target)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    pad_w = (target != SYMBOLS.PAD_ID).astype(jnp.float32)
+    return jnp.sum(nll * pad_w) / jnp.asarray(n_real, jnp.float32)
 
 
 def predict_greedy(params, state, mcfg, X, stop_limit,

@@ -88,11 +88,15 @@ class NN:
             else jnp.float32
         )
 
-        # Pallas fused encoder: on by default on TPU (3.4x step speedup),
-        # scan path elsewhere; explicit config wins
+        # Pallas fused encoder/decoder: on by default on TPU (large step
+        # speedups), scan path elsewhere; explicit config wins.  Both
+        # have eligibility gates and fall back to scan when they do not
+        # apply (shape alignment, VMEM, model variants).
+        on_tpu = jax.default_backend() == "tpu"
         if "fused_encoder" not in self.mcfg["rnn_config"]:
-            self.mcfg["rnn_config"]["fused_encoder"] = (
-                jax.default_backend() == "tpu")
+            self.mcfg["rnn_config"]["fused_encoder"] = on_tpu
+        if "fused_decoder" not in self.mcfg["rnn_config"]:
+            self.mcfg["rnn_config"]["fused_decoder"] = on_tpu
 
         self.data_loader = make_dataloader(tcfg, self.model_dir)
 

@@ -27,10 +27,12 @@ def _flagship(fused=True):
     from __graft_entry__ import FLAGSHIP_MCFG
     from ast_tpu.models import seq2seq
 
+    on_tpu = jax.default_backend() == "tpu"
     mcfg = jax.tree.map(lambda x: x, FLAGSHIP_MCFG)
     mcfg["rnn_config"] = dict(
         mcfg["rnn_config"],
-        fused_encoder=fused and jax.default_backend() == "tpu")
+        fused_encoder=fused and on_tpu,
+        fused_decoder=fused and on_tpu)
     key = jax.random.PRNGKey(0)
     params, state = seq2seq.init_model(key, mcfg)
     return mcfg, params, state
@@ -87,7 +89,7 @@ def bench_train_step(n_steps=30, B=32, T=640, U=48,
     float(jax.device_get(loss))
 
     best = 0.0
-    for round_i in range(2):
+    for round_i in range(4):
         t0 = time.perf_counter()
         for i in range(n_steps):
             params, state, opt_state, loss = step(
