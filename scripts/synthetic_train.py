@@ -78,7 +78,7 @@ def build_corpus(root, n_train=600, n_dev=60, vocab_words=30, seed=0):
         "dropout": {"embed": 0.1, "rnn": 0.1, "out": 0},
         "rnn_config": {
             "bi_rnn": True, "enc_layers": 2, "dec_layers": 2,
-            "hidden_units": 256, "embedding_units": 64, "attn_units": 256,
+            "hidden_units": 256, "embedding_units": 128, "attn_units": 256,
             "n_attn": 1, "feed_attn": True, "ln": False,
         },
         "cnn_config": {
