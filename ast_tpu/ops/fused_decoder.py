@@ -35,9 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ast_tpu.ops.fused_lstm import _drop_mask
+from ast_tpu.ops.fused_lstm import _apply_gates, _drop_mask
 
-NEG = -1e9
 # Calibrated against observed Mosaic compiles: the flagship decoder
 # (bf16 weights ~16 MB + enc 5.2 MB + streams; 22.6 MB by this naive sum)
 # compiles and runs on v5e — Mosaic schedules large full-VMEM operands
@@ -62,15 +61,6 @@ def fused_decoder_fits(L, B, H, E, A, T, Vp, weight_bytes=2):
     scratch = (2 * L * B * H + B * A + B * Vp) * 4
     est = lstm_w + attn_w + vocab_w + enc + streams + scratch
     return est < VMEM_BUDGET
-
-
-def _gates(z, c_prev, H):
-    i = jax.nn.sigmoid(z[..., :H])
-    f = jax.nn.sigmoid(z[..., H:2 * H])
-    g = jnp.tanh(z[..., 2 * H:3 * H])
-    o = jax.nn.sigmoid(z[..., 3 * H:])
-    c = f * c_prev + i * g
-    return i, f, g, o, c, o * jnp.tanh(c)
 
 
 def _dot(a, w):
@@ -141,7 +131,7 @@ def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
 
     emb = _dot(sel, embed_ref[...])                     # (B, E)
     if train and emb_drop > 0:
-        keep = _drop_mask((B, E), emb_drop, seed_ref[0] + t * 17)
+        keep = _drop_mask((B, E), emb_drop, seed_ref[0] + 2 * t)
         emb = jnp.where(keep, emb / (1.0 - emb_drop), 0.0)
     emb_ref[0] = emb.astype(emb_ref.dtype)
 
@@ -151,7 +141,7 @@ def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
     for l in range(L):
         z = _dot(x, wx0_ref[...]) if l == 0 else _dot(x, wxr_ref[l - 1])
         z = z + _dot(h_s[l], wh_ref[l]) + b_ref[l]
-        i, f, g, o, c_new, h_new = _gates(z, c_s[l], H)
+        i, f, g, o, c_new, h_new = _apply_gates(z, c_s[l], H)
         acts_ref[0, l] = jnp.concatenate(
             [i, f, g, o], axis=-1).astype(acts_ref.dtype)
         call_ref[0, l] = c_new.astype(call_ref.dtype)
@@ -161,7 +151,7 @@ def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
         x = h_new
         if train and rnn_drop > 0:
             keep = _drop_mask((B, H), rnn_drop,
-                              seed_ref[0] + t * 29 + l + 1)
+                              seed_ref[0] + 2 * (t * L + l) + 1)
             x = jnp.where(keep, x / (1.0 - rnn_drop), 0.0)
 
     h_top = x                                            # (B, H), dropped
@@ -184,12 +174,20 @@ def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
     ht_s[...] = ht
     ht_out_ref[0] = ht.astype(ht_out_ref.dtype)
 
-    # ---- argmax feed for the next step (loss logits computed outside)
-    logits = _dot(ht, outw_ref[...]) + outb_ref[...]     # (B, Vp)
-    tb = logits - jax.lax.broadcasted_iota(
-        jnp.int32, (B, Vp), 1).astype(jnp.float32) * 1e-6  # tie-break
-    m = jnp.max(tb, axis=-1, keepdims=True)
-    oh_s[...] = (tb >= m).astype(jnp.float32)
+    # ---- argmax feed (loss logits computed outside); only needed when
+    # the NEXT step samples.  Exact argmax (ties -> first index), same as
+    # the scan path's jnp.argmax.
+    T_steps = pl.num_programs(0)
+    next_samples = jnp.where(t + 1 < T_steps,
+                             coin_ref[jnp.minimum(t + 1, T_steps - 1)] == 0,
+                             False)
+
+    @pl.when(next_samples)
+    def _():
+        logits = _dot(ht, outw_ref[...]) + outb_ref[...]  # (B, Vp)
+        idx = jnp.argmax(logits, axis=-1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+        oh_s[...] = (lane == idx[:, None]).astype(jnp.float32)
 
 
 def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
@@ -278,8 +276,8 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
-                seed_ref, acts_ref, call_ref, cprev_ref, hall_ref,
-                alpha_ref, q_ref, cv_ref, ht_ref, dhtext_ref,
+                seed_ref, acts_ref, call_ref, cprev_ref,
+                alpha_ref, ht_ref, dhtext_ref,
                 enc_ref, wx0_ref, wxr_ref, wh_ref, wa_ref, ctxw_ref,
                 dz_ref, dpre_ref, dscore_ref, dcv_ref, dq_ref, demb_ref,
                 dh0_ref, dc0_ref,
@@ -325,7 +323,7 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
     # top-layer dropout between h_{L-1} and its consumers
     if train and rnn_drop > 0:
         keep = _drop_mask((B, H), rnn_drop,
-                          seed_ref[0] + t * 29 + (L - 1) + 1)
+                          seed_ref[0] + 2 * (t * L + (L - 1)) + 1)
         d_htop = jnp.where(keep, d_htop * inv_keep_r, 0.0)
 
     # ---- LSTM stack backward
@@ -337,7 +335,7 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
             cons = dx_above
             if train and rnn_drop > 0:
                 keep = _drop_mask((B, H), rnn_drop,
-                                  seed_ref[0] + t * 29 + l + 1)
+                                  seed_ref[0] + 2 * (t * L + l) + 1)
                 cons = jnp.where(keep, cons * inv_keep_r, 0.0)
         dh = dh_s[l] + cons
 
@@ -373,7 +371,7 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
             d_emb = dx0[:, :E]
             if train and emb_drop > 0:
                 keep = _drop_mask((B, E), emb_drop,
-                                  seed_ref[0] + t * 17)
+                                  seed_ref[0] + 2 * t)
                 d_emb = jnp.where(keep, d_emb * inv_keep_e, 0.0)
             demb_ref[0] = d_emb.astype(demb_ref.dtype)
             dht_s[...] = dx0[:, E:]                      # to step t-1
@@ -432,10 +430,7 @@ def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
             rblk(L, B, 4 * H),                          # acts
             rblk(L, B, H),                              # c_all
             rblk(L, B, H),                              # c_prev
-            rblk(L, B, H),                              # h_all
             rblk(B, T),                                 # alphas
-            rblk(B, H),                                 # q
-            rblk(B, H),                                 # cv
             rblk(B, A),                                 # ht
             rblk(B, A),                                 # d_ht_ext
             full(),                                     # enc
@@ -450,8 +445,8 @@ def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
             pltpu.VMEM((B, A), jnp.float32),
         ],
         interpret=interpret,
-    )(seed_arr, res["acts"], res["c_all"], c_prev, res["h_all"],
-      res["alphas"], res["q"], res["cv"], res["ht"], d_ht_ext,
+    )(seed_arr, res["acts"], res["c_all"], c_prev,
+      res["alphas"], res["ht"], d_ht_ext,
       enc_states.reshape(-1, enc_states.shape[-1]),
       w["wx0"], w["wx_rest"], w["wh"], w["wa"], w["ctx_w"])
 
@@ -533,7 +528,8 @@ def _fd_bwd(drop_emb, drop_rnn, train, interpret, keep, d_ht_ext):
         x_drop = []
         for l in range(L):
             masks = _regen_masks(U, (B, H), drop_rnn,
-                                 jnp.asarray(seed, jnp.int32), l + 1, 29)
+                                 jnp.asarray(seed, jnp.int32),
+                                 2 * l + 1, 2 * L)
             x_drop.append(jnp.where(masks, h_all[:, l] * inv, 0.0))
         x_drop = jnp.stack(x_drop, axis=1)               # (U, L, B, H)
     else:
@@ -556,8 +552,7 @@ def _fd_bwd(drop_emb, drop_rnn, train, interpret, keep, d_ht_ext):
 
     # LSTM weights
     h_prev = jnp.concatenate(
-        [dec_h0[None].astype(f32),
-         jnp.moveaxis(h_all[:-1], 1, 1)], axis=0)        # (U, L, B, H)
+        [dec_h0[None].astype(f32), h_all[:-1]], axis=0)  # (U, L, B, H)
     d_wh = jnp.einsum("ulbh,ulbk->lhk", h_prev, dz,
                       preferred_element_type=f32)
     d_b = jnp.sum(dz, axis=(0, 2))

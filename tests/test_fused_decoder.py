@@ -225,3 +225,81 @@ def test_model_level_fused_decoder_matches_scan():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4,
             err_msg=f"grad mismatch at {pa}")
+
+
+def test_vjp_with_dropout_matches_masked_reference(setup):
+    """Train-mode gradients with nonzero dropout: the kernel's in-kernel
+    hash masks (fwd + bwd + outside regeneration) must agree with a
+    reference loop applying the identical masks."""
+    from ast_tpu.ops.fused_lstm import _drop_mask
+
+    w, enc, h0, c0, y_oh = setup
+    coins = jnp.asarray([1, 0, 1, 1, 0], jnp.int32)
+    drop_e, drop_r = 0.25, 0.3
+    seed = 7
+
+    def ref_forward_dropped(wd):
+        def gates(z, c):
+            i = jax.nn.sigmoid(z[..., :H])
+            f = jax.nn.sigmoid(z[..., H:2 * H])
+            g = jnp.tanh(z[..., 2 * H:3 * H])
+            o = jax.nn.sigmoid(z[..., 3 * H:])
+            cn = f * c + i * g
+            return cn, o * jnp.tanh(cn)
+
+        h = [h0[l] for l in range(L)]
+        c = [c0[l] for l in range(L)]
+        ht = jnp.zeros((B, A))
+        prev_oh = jnp.zeros((B, Vp))
+        hts = []
+        for t in range(U):
+            sel = jnp.where(coins[t] > 0, y_oh[t], prev_oh)
+            emb = sel @ wd["embed"]
+            keep = _drop_mask((B, E), drop_e, seed + 2 * t)
+            emb = jnp.where(keep, emb / (1 - drop_e), 0.0)
+            x = jnp.concatenate([emb, ht], -1)
+            for l in range(L):
+                wx = wd["wx0"] if l == 0 else wd["wx_rest"][l - 1]
+                z = x @ wx + h[l] @ wd["wh"][l] + wd["b"][l]
+                c[l], h[l] = gates(z, c[l])
+                x = h[l]
+                keep = _drop_mask((B, H), drop_r,
+                                  seed + 2 * (t * L + l) + 1)
+                x = jnp.where(keep, x / (1 - drop_r), 0.0)
+            q = x @ wd["wa"] + wd["wa_b"]
+            scores = jnp.einsum("bh,bth->bt", q, enc)
+            alphas = jax.nn.softmax(scores, -1)
+            cv = jnp.einsum("bt,bth->bh", alphas, enc)
+            ht = jnp.tanh(jnp.concatenate([cv, x], -1) @ wd["ctx_w"]
+                          + wd["ctx_b"])
+            hts.append(ht)
+            logits = ht @ wd["out_w"] + wd["out_b"]
+            idx = jnp.argmax(logits, -1)
+            prev_oh = jax.nn.one_hot(idx, Vp)
+        return jnp.stack(hts)
+
+    names = ["wx0", "wx_rest", "wh", "b", "wa", "wa_b", "ctx_w", "ctx_b",
+             "out_w", "out_b", "embed"]
+    args = tuple(w[n] for n in names)
+
+    def loss_ref(args):
+        wd = dict(zip(names, args))
+        ht = ref_forward_dropped(wd)
+        return jnp.sum(ht * 0.37) + jnp.sum(jnp.tanh(ht))
+
+    def loss_fused(args):
+        from ast_tpu.ops.fused_decoder import fused_decoder_apply
+        ht = fused_decoder_apply(
+            enc, h0, c0, *args, y_oh, coins, jnp.int32(seed),
+            drop_e, drop_r, True, True)
+        return jnp.sum(ht * 0.37) + jnp.sum(jnp.tanh(ht))
+
+    v_r, g_r = jax.value_and_grad(loss_ref)(args)
+    v_f, g_f = jax.value_and_grad(loss_fused)(args)
+    assert abs(float(v_r) - float(v_f)) < 1e-4
+    for n, a, b in zip(names, g_r, g_f):
+        if n in ("out_w", "out_b"):
+            continue
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+            err_msg=f"dropout grad mismatch for {n}")
