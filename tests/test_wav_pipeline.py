@@ -135,3 +135,16 @@ def test_read_wav_roundtrip(tmp_path):
     y = read_wav(path)
     np.testing.assert_allclose(y, x.astype(np.float32) / 32768.0,
                                atol=1e-6)
+
+
+def test_wav_beam_decode(wav_exp):
+    """Beam decode with on-device featurization."""
+    from ast_tpu.train.trainer import NN
+    nn = NN(wav_exp)
+    results = nn.decode_beam_set("wav_dev", N=2, K=2)
+    assert len(results) == 3
+    for utt, hyps in results.items():
+        assert len(hyps) == 2
+        ids, score = hyps[0]
+        assert ids[0] == 1  # GO
+        assert score <= 0
