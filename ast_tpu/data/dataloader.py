@@ -32,6 +32,7 @@ import numpy as np
 
 from ast_tpu.data import buckets as prep_buckets
 from ast_tpu.symbols import SYMBOLS
+from ast_tpu.utils.seeding import stable_seed
 
 
 def _round_up(x: int, m: int) -> int:
@@ -45,9 +46,7 @@ class DataLoader:
         self.data_cfg = data_cfg
         self.model_dir = model_dir
         self.py_rng = random.Random(seed)
-        self.np_rng = np.random.RandomState(
-            abs(hash(str(seed))) % (2**32)
-        )
+        self.np_rng = np.random.RandomState(stable_seed(seed, bits=32))
 
         with open(data_cfg["map_path"], "rb") as f:
             self.map = pickle.load(f)

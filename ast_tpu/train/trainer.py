@@ -34,12 +34,11 @@ from ast_tpu.train.checkpoint import (
 )
 from ast_tpu.train.optimizer import build_optimizer
 from ast_tpu.utils.profiling import StepTimer
+from ast_tpu.utils.seeding import stable_seed
 
 
 def _seed_to_int(seed):
-    if isinstance(seed, int):
-        return seed
-    return abs(hash(str(seed))) % (2**31)
+    return stable_seed(seed, bits=31)
 
 
 class Prefetcher:
