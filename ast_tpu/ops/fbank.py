@@ -16,9 +16,11 @@ gather with a static (n_frames, frame_len) index matrix.
 
 Defaults mirror Kaldi's compute-mfcc-feats for 8 kHz telephone speech
 (frame 25 ms / shift 10 ms, 23 mel bins on [20 Hz, Nyquist], 13 ceps,
-cepstral lifter 22, snip-edges).  Numerical parity with Kaldi is validated
-in tests against an independent NumPy reference; training uses either
-these on-device features or precomputed .npy features interchangeably.
+cepstral lifter 22, snip-edges, dither off).  Numerical parity is pinned
+against committed golden fixtures (tests/fixtures/kaldi_mfcc.npz) produced
+by an independent per-frame Kaldi-pipeline implementation
+(scripts/make_kaldi_fixtures.py); training uses either these on-device
+features or precomputed .npy features interchangeably.
 """
 
 import functools
@@ -34,7 +36,7 @@ class MfccConfig:
     def __init__(self, sample_rate=8000, frame_ms=25.0, shift_ms=10.0,
                  n_mels=23, n_ceps=13, preemph=0.97, remove_dc=True,
                  window="povey", low_freq=20.0, high_freq=0.0,
-                 cepstral_lifter=22.0, log_floor=1e-10):
+                 cepstral_lifter=22.0, log_floor=None):
         self.sample_rate = sample_rate
         self.frame_len = int(sample_rate * frame_ms / 1000)
         self.shift = int(sample_rate * shift_ms / 1000)
@@ -47,7 +49,9 @@ class MfccConfig:
         self.low_freq = low_freq
         self.high_freq = high_freq if high_freq > 0 else sample_rate / 2
         self.cepstral_lifter = cepstral_lifter
-        self.log_floor = log_floor
+        # Kaldi floors mel energies at FLT_EPSILON before the log
+        self.log_floor = (float(np.finfo(np.float32).eps)
+                          if log_floor is None else log_floor)
 
 
 def _window_fn(cfg):

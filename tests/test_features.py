@@ -37,29 +37,37 @@ def test_mfcc_shapes_and_framing():
     assert np.isfinite(feats).all()
 
 
-def test_mfcc_against_numpy_reference():
-    """Independent NumPy implementation of the same math."""
-    cfg = fbank.MfccConfig()
-    ext = fbank.MfccExtractor(cfg)
-    rng = np.random.RandomState(1)
-    audio = rng.randn(4000).astype(np.float32)
-    got = np.asarray(ext(audio[None]))[0]
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", "kaldi_mfcc.npz")
 
-    n_fr = fbank.num_frames(cfg, 4000)
-    win = np.asarray(ext.consts[2])
-    fb = np.asarray(ext.consts[3])
-    dct = np.asarray(ext.consts[4])
-    expect = []
-    for i in range(n_fr):
-        fr = audio[i * cfg.shift: i * cfg.shift + cfg.frame_len].copy()
-        fr = fr - fr.mean()
-        pre = np.concatenate([[fr[0]], fr[:-1]])
-        fr = fr - cfg.preemph * pre
-        fr = fr * win
-        spec = np.abs(np.fft.rfft(fr, cfg.n_fft)) ** 2
-        mel = np.log(np.maximum(spec @ fb, cfg.log_floor))
-        expect.append(mel @ dct)
-    np.testing.assert_allclose(got, np.asarray(expect), rtol=1e-3, atol=1e-2)
+
+@pytest.mark.parametrize(
+    "name", ["tones", "noise", "chirp", "silence_then_tone"])
+def test_mfcc_matches_kaldi_golden(name):
+    """Golden parity against committed fixtures from an independent
+    per-frame Kaldi-pipeline implementation (scripts/make_kaldi_fixtures.py
+    — reference conf: linking_files/fisher/mfcc.conf + Kaldi defaults,
+    dither off).  Tolerance is f32-matmul-DFT level; an algorithmic
+    divergence (window shape, mel edges, lifter, floor) is O(1)."""
+    z = np.load(FIXTURES)
+    got = np.asarray(fbank.MfccExtractor()(z[f"audio_{name}"][None]))[0]
+    np.testing.assert_allclose(got, z[f"mfcc_{name}"], rtol=0, atol=0.03)
+
+
+def test_cmvn_matches_kaldi_golden():
+    """compute_cmvn_stats/apply_cmvn vs the fixture generator's
+    independent sum/sumsq accumulation (apply-cmvn --norm-vars=true
+    over one speaker's two utterances)."""
+    z = np.load(FIXTURES)
+    mats = [z["mfcc_tones"], z["mfcc_noise"]]
+    stats = fbank.compute_cmvn_stats(mats)
+    np.testing.assert_allclose(stats["mean"], z["cmvn_mean"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(stats["std"], z["cmvn_std"],
+                               rtol=1e-4, atol=1e-4)
+    for mat, key in zip(mats, ["cmvn_tones", "cmvn_noise"]):
+        got = np.asarray(fbank.apply_cmvn(mat, stats))
+        np.testing.assert_allclose(got, z[key], rtol=1e-3, atol=1e-3)
 
 
 def test_cmvn_roundtrip():
