@@ -10,7 +10,8 @@ matmuls, fused by XLA into the encoder's first convolution.
 
 Select with ``data.features: "wav"``.  Layout:
   <speech_path>/<set_key>/<utt>.npy   float32 1-D raw audio (8 kHz), or
-  <speech_path>/<set_key>/<utt>.wav   PCM wav (stdlib reader)
+  <speech_path>/<set_key>/<utt>.wav   PCM wav (stdlib reader), or
+  <speech_path>/<set_key>/<utt>.sph   NIST SPHERE (pcm/ulaw; LDC Fisher)
   <speech_path>/cmvn.stats            optional pickle
       {"utt2spk": {utt: spk}, "stats": {spk: {"mean": (13,), "std": (13,)}}}
   absent stats => identity normalization.
@@ -49,6 +50,82 @@ def read_wav(path):
     return x
 
 
+def _ulaw_to_linear(u8):
+    """G.711 mu-law bytes -> int16-range PCM (vectorized)."""
+    u = np.invert(np.asarray(u8, dtype=np.uint8))
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 0x07
+    mantissa = (u & 0x0F).astype(np.int32)
+    magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -magnitude, magnitude).astype(np.int16)
+
+
+def read_sph(path, channel=None):
+    """NIST SPHERE audio -> float32 mono in [-1, 1] (stdlib only).
+
+    The LDC Fisher corpus ships SPHERE files that the reference pipeline
+    decodes with sph2pipe (reference: fisher/kaldi/local/fsp_data_prep.sh:
+    37-41).  Supported codings: uncompressed PCM (1/2-byte, either
+    endianness) and mu-law.  Shorten-compressed SPHERE ("embedded-shorten")
+    is NOT supported — decompress offline with sph2pipe first.
+
+    ``channel``: 0-based channel to keep (Fisher is 2-channel, one per
+    speaker); None averages channels.
+    """
+    with open(path, "rb") as f:
+        magic = f.readline()
+        if not magic.startswith(b"NIST_1A"):
+            raise ValueError(f"{path}: not a NIST SPHERE file")
+        header_size = int(f.readline().strip())
+        f.seek(0)
+        header = f.read(header_size).decode("ascii", errors="replace")
+        f.seek(header_size)
+        raw = f.read()
+
+    fields = {}
+    for line in header.splitlines()[2:]:
+        line = line.strip()
+        if line == "end_head":
+            break
+        parts = line.split(None, 2)
+        if len(parts) == 3:
+            name, typ, value = parts
+            fields[name] = int(value) if typ == "-i" else value
+
+    coding = str(fields.get("sample_coding", "pcm")).lower()
+    n_bytes = int(fields.get("sample_n_bytes", 2))
+    channels = int(fields.get("channel_count", 1))
+    byte_format = str(fields.get("sample_byte_format", "01"))
+    n_samples = int(fields.get("sample_count", 0))
+
+    if "shorten" in coding:
+        raise ValueError(
+            f"{path}: shorten-compressed SPHERE is unsupported — run "
+            "sph2pipe offline to decompress first")
+    if coding.startswith("ulaw") or coding.startswith("mu-law"):
+        x = _ulaw_to_linear(np.frombuffer(raw, dtype=np.uint8))
+        x = x.astype(np.float32) / 32768.0
+    elif coding.startswith("pcm"):
+        if n_bytes == 2:
+            dtype = ">i2" if byte_format == "10" else "<i2"
+            x = np.frombuffer(raw, dtype=dtype).astype(np.float32) / 32768.0
+        elif n_bytes == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        else:
+            raise ValueError(
+                f"{path}: unsupported pcm sample_n_bytes={n_bytes}")
+    else:
+        raise ValueError(f"{path}: unsupported sample_coding={coding!r}")
+
+    if n_samples:
+        x = x[: n_samples * channels]
+    if channels > 1:
+        x = x.reshape(-1, channels)
+        x = x[:, channel] if channel is not None else x.mean(axis=1)
+    return np.ascontiguousarray(x, dtype=np.float32)
+
+
 def samples_for_frames(cfg: MfccConfig, t_frames: int) -> int:
     """Audio samples needed to produce exactly ``t_frames`` frames."""
     if t_frames <= 0:
@@ -84,10 +161,13 @@ class WavDataLoader(FisherDataLoader):
         base = os.path.join(self.data_cfg["speech_path"], set_key)
         npy = os.path.join(base, f"{utt}.npy")
         wav = os.path.join(base, f"{utt}.wav")
+        sph = os.path.join(base, f"{utt}.sph")
         if os.path.exists(npy):
             x = np.load(npy).astype(np.float32).reshape(-1)
-        else:
+        elif os.path.exists(wav):
             x = read_wav(wav)
+        else:
+            x = read_sph(sph)
         if self.cache_features:
             self._cache[key] = x
         return x

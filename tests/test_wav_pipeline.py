@@ -137,6 +137,96 @@ def test_read_wav_roundtrip(tmp_path):
                                atol=1e-6)
 
 
+def _write_sph(path, data_bytes, coding="pcm", n_bytes=2, channels=1,
+               n_samples=0, byte_format="01"):
+    header = (
+        "NIST_1A\n   1024\n"
+        "sample_rate -i 8000\n"
+        f"channel_count -i {channels}\n"
+        f"sample_n_bytes -i {n_bytes}\n"
+        f"sample_count -i {n_samples}\n"
+        f"sample_byte_format -s{len(byte_format)} {byte_format}\n"
+        f"sample_coding -s{len(coding)} {coding}\n"
+        "end_head\n"
+    ).encode("ascii")
+    with open(path, "wb") as f:
+        f.write(header + b" " * (1024 - len(header)))
+        f.write(data_bytes)
+
+
+def _ulaw_encode(pcm):
+    """Textbook G.711 mu-law compressor (test-side reference encoder)."""
+    BIAS, CLIP = 0x84, 32635
+    x = np.asarray(pcm, np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), CLIP) + BIAS
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return np.invert((sign | (exp << 4) | mant).astype(np.uint8))
+
+
+def test_read_sph_pcm_both_endiannesses(tmp_path):
+    from ast_tpu.data.wav_loader import read_sph
+    x = (np.sin(np.linspace(0, 60, 500)) * 25000).astype(np.int16)
+    le, be = str(tmp_path / "le.sph"), str(tmp_path / "be.sph")
+    _write_sph(le, x.astype("<i2").tobytes(), byte_format="01",
+               n_samples=len(x))
+    _write_sph(be, x.astype(">i2").tobytes(), byte_format="10",
+               n_samples=len(x))
+    want = x.astype(np.float32) / 32768.0
+    np.testing.assert_allclose(read_sph(le), want, atol=1e-6)
+    np.testing.assert_allclose(read_sph(be), want, atol=1e-6)
+
+
+def test_read_sph_ulaw_two_channel(tmp_path):
+    from ast_tpu.data.wav_loader import _ulaw_to_linear, read_sph
+    # decoder endpoints pinned to the G.711 table
+    assert _ulaw_to_linear(np.array([0x00]))[0] == -32124
+    assert _ulaw_to_linear(np.array([0x80]))[0] == 32124
+    assert _ulaw_to_linear(np.array([0xFF]))[0] == 0
+
+    rng = np.random.RandomState(3)
+    ch0 = (rng.randn(400) * 8000).astype(np.int16)
+    ch1 = (rng.randn(400) * 8000).astype(np.int16)
+    interleaved = np.stack([_ulaw_encode(ch0), _ulaw_encode(ch1)],
+                           axis=1).reshape(-1)
+    path = str(tmp_path / "u.sph")
+    _write_sph(path, interleaved.tobytes(), coding="ulaw", n_bytes=1,
+               channels=2, n_samples=400)
+    # mu-law is lossy: tolerance = max segment quantization step
+    got0 = read_sph(path, channel=0) * 32768.0
+    np.testing.assert_allclose(got0, ch0, atol=1024)
+    mono = read_sph(path) * 32768.0
+    np.testing.assert_allclose(mono, (ch0.astype(np.float32)
+                                      + ch1.astype(np.float32)) / 2,
+                               atol=1024)
+
+
+def test_read_sph_rejects_shorten(tmp_path):
+    from ast_tpu.data.wav_loader import read_sph
+    path = str(tmp_path / "s.sph")
+    _write_sph(path, b"\x00" * 64, coding="pcm,embedded-shorten-v2.00")
+    with pytest.raises(ValueError, match="shorten"):
+        read_sph(path)
+
+
+def test_wav_loader_reads_sph(wav_exp):
+    """An utterance stored as .sph enters the wav pipeline unchanged."""
+    from ast_tpu.config import Config
+    cfg = Config(wav_exp)
+    speech = cfg.train["data"]["speech_path"]
+    utt_npy = os.path.join(speech, "wav_train", "wav_train_u0.npy")
+    audio = np.load(utt_npy)
+    pcm = np.clip(audio * 32768.0, -32768, 32767).astype("<i2")
+    _write_sph(os.path.join(speech, "wav_train", "wav_train_u0.sph"),
+               pcm.tobytes(), n_samples=len(pcm))
+    os.remove(utt_npy)
+    dl = WavDataLoader(cfg.train["data"], wav_exp, seed="s")
+    x = dl._load_audio("wav_train_u0", "wav_train")
+    np.testing.assert_allclose(x, pcm.astype(np.float32) / 32768.0,
+                               atol=1e-6)
+
+
 def test_wav_beam_decode(wav_exp):
     """Beam decode with on-device featurization."""
     from ast_tpu.train.trainer import NN
