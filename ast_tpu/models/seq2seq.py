@@ -31,10 +31,12 @@ Parity quirks preserved deliberately (they affect BLEU):
   steps (reference: seq2seq.py:468-470 with Chainer normalize=True)
 
 Documented deviations:
-- encoder reversal processes the true reversed sequence (the reference's
-  ``X[-i]`` indexing feeds X[0] to the reverse stack at step 0,
+- encoder reversal processes the true reversed sequence by default (the
+  reference's ``X[-i]`` indexing feeds X[0] to the reverse stack at step 0,
   seq2seq.py:219; and its linear_proj variant feeds a constant last frame,
-  seq2seq.py:256 — both are reproduced *corrected* here)
+  seq2seq.py:256).  Set ``rnn_config.ref_rev_quirk: true`` for the
+  bit-faithful reference ordering — the NumPy reference oracle
+  (tests/reference_oracle.py) validates both modes
 - ``random_out`` corruption samples uniformly in [4, V) (the reference's
   randint upper bound V+1 could produce an out-of-range id,
   seq2seq.py:464-465)
@@ -218,7 +220,15 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
     # direction-stacked sequence: xs[t, 0] = x_t, xs[t, 1] = x_{T-1-t}
     seq = jnp.transpose(h_cnn, (1, 0, 2))  # (T', B, C)
     if bi:
-        xs = jnp.stack([seq, jnp.flip(seq, axis=0)], axis=1)  # (T', 2, B, C)
+        if rnn.get("ref_rev_quirk", False):
+            # bit-faithful reference ordering: the reverse stack consumes
+            # X[-i], i.e. [X[0], X[T-1], ..., X[1]] (reference:
+            # seq2seq.py:219 feeds X[-i]; X[-0] is X[0])
+            rev_in = jnp.concatenate([seq[:1], jnp.flip(seq[1:], axis=0)],
+                                     axis=0)
+        else:
+            rev_in = jnp.flip(seq, axis=0)
+        xs = jnp.stack([seq, rev_in], axis=1)  # (T', 2, B, C)
     else:
         xs = seq[:, None]  # (T', 1, B, C)
 
@@ -455,6 +465,8 @@ def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
     Returns (loss, new_state).  Loss = sum over steps of
     mean-over-true-batch PAD-masked CE (reference: seq2seq.py:399-473).
     """
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
     B, U = y.shape
     V = mcfg["rnn_config"]["dec_vocab_size"]
     if n_real is None:
