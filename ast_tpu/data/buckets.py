@@ -71,7 +71,11 @@ def buckets_main(save_path, num_b, width_b, key, scale=1, seed="haha",
             info_dict[cat], num_b, width_b, key, scale_val, seed
         )
 
+    # atomic write: multi-host runs share the model dir, and every process
+    # computes (identical) buckets — interleaved writes must not corrupt
     bucket_dict_path = os.path.join(save_path, f"buckets_{key}.dict")
-    with open(bucket_dict_path, "wb") as f:
+    tmp_path = f"{bucket_dict_path}.tmp.{os.getpid()}"
+    with open(tmp_path, "wb") as f:
         pickle.dump(bucket_dict, f)
+    os.replace(tmp_path, bucket_dict_path)
     return bucket_dict

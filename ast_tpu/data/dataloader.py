@@ -45,6 +45,7 @@ class DataLoader:
     def __init__(self, data_cfg, model_dir, seed="seed"):
         self.data_cfg = data_cfg
         self.model_dir = model_dir
+        self.seed = seed
         self.py_rng = random.Random(seed)
         self.np_rng = np.random.RandomState(stable_seed(seed, bits=32))
 
@@ -110,11 +111,12 @@ class DataLoader:
     # ------------------------------------------------------------------
     # augmentation
     # ------------------------------------------------------------------
-    def _drop_frames(self, x_data, drop_rate):
+    def _drop_frames(self, x_data, drop_rate, np_rng=None):
+        np_rng = self.np_rng if np_rng is None else np_rng
         num_drop = int(drop_rate * len(x_data))
         if num_drop > 0:
             mask = np.ones(len(x_data), dtype=np.float32)
-            inds = self.np_rng.choice(np.arange(len(x_data)), size=num_drop)
+            inds = np_rng.choice(np.arange(len(x_data)), size=num_drop)
             mask[inds] = 0
             return x_data * mask[:, np.newaxis]
         return x_data
@@ -137,7 +139,8 @@ class DataLoader:
         return int(batch_size)
 
     def get_batch(self, batch_size, set_key, train, labels=False,
-                  pad_batch=True, curriculum=False, _skip_speech=False):
+                  pad_batch=True, curriculum=False, epoch=None,
+                  _skip_speech=False):
         """Generator of statically-shaped batch dicts.
 
         Yields {"X": (B,T,D) f32, "y": (B,U) i32 [labels], "utts": [ids],
@@ -146,7 +149,20 @@ class DataLoader:
 
         ``curriculum=True`` feeds buckets short-to-long without shuffling
         the batch order (legacy capability, reference: nmt_run.py:406-446).
+
+        ``epoch`` (optional): derive the shuffle/augmentation RNGs from
+        (seed, set_key, epoch) instead of the loader's stateful streams, so
+        the batch order of any epoch is reproducible in a fresh process —
+        this is what makes mid-epoch crash recovery (skip consumed batches)
+        and multi-host striding exact.
         """
+        if epoch is not None:
+            tag = f"{self.seed}|{set_key}|{epoch}"
+            py_rng = random.Random(tag)
+            np_rng = np.random.RandomState(stable_seed(tag, bits=32))
+        else:
+            py_rng, np_rng = self.py_rng, self.np_rng
+
         num_b = self.buckets[set_key]["num_b"]
         width_b = self.buckets[set_key]["width_b"]
         max_sp = (num_b + 1) * width_b
@@ -159,11 +175,11 @@ class DataLoader:
         for b, bucket in enumerate(self.buckets[set_key]["buckets"]):
             b_size = self._bucket_batch_size(batch_size, b, num_b)
             bucket = list(bucket)
-            self.py_rng.shuffle(bucket)
+            py_rng.shuffle(bucket)
             for i in range(0, len(bucket), b_size):
                 batch_list.append((bucket[i:i + b_size], b))
         if not curriculum:
-            self.py_rng.shuffle(batch_list)
+            py_rng.shuffle(batch_list)
 
         for utts, b in batch_list:
             # bucket b holds utts with < (b+1)*width_b frames (last bucket
@@ -189,7 +205,8 @@ class DataLoader:
                 for j, x in enumerate(feats):
                     if train and self.data_cfg.get("zero_input", 0) > 0 \
                             and "train" in set_key:
-                        x = self._drop_frames(x, self.data_cfg["zero_input"])
+                        x = self._drop_frames(x, self.data_cfg["zero_input"],
+                                              np_rng)
                     X[j, : len(x)] = x
 
             batch = {

@@ -127,20 +127,26 @@ class NN:
         self.opt, self.opt_state = build_optimizer(
             tcfg["optimizer"], self.params, seed=self.seed)
         if ckpt is not None:
-            loaded = load_checkpoint(ckpt)
-            self.params = jax.tree.map(
-                lambda a, b: jnp.asarray(b), self.params, loaded["params"])
-            if loaded.get("state") is not None:
-                self.state = jax.tree.map(
-                    lambda a, b: jnp.asarray(b), self.state, loaded["state"])
-            if loaded.get("opt") is not None:
-                try:
-                    self.opt_state = jax.tree.map(
-                        lambda a, b: jnp.asarray(b),
-                        self.opt_state, loaded["opt"])
-                except ValueError:
-                    pass  # optimizer config changed; restart moments
+            self._load_snapshot(load_checkpoint(ckpt))
             self.max_epoch = epoch
+
+        # mid-epoch crash recovery: prefer a NEWER inflight snapshot
+        # (written every ``checkpoint_steps`` batches).  extra = {epoch e,
+        # step s}: "epoch e has consumed s batches"; the deterministic
+        # per-epoch batch stream (dataloader ``epoch`` arg) lets the
+        # resumed run skip exactly those batches.
+        self.inflight_resume = None
+        inflight = os.path.join(self.model_dir, "seq2seq_inflight.npz")
+        if os.path.exists(inflight):
+            snap = load_checkpoint(inflight)
+            extra = snap.get("extra") or {}
+            in_epoch = int(extra.get("epoch", 0))
+            in_step = int(extra.get("step", 0))
+            if in_epoch >= 1 and in_epoch - 1 >= self.max_epoch:
+                self._load_snapshot(snap)
+                self.max_epoch = in_epoch - 1
+                if in_step > 0:
+                    self.inflight_resume = (in_epoch, in_step)
 
         if self.mesh is not None:
             self.params = replicate(self.params, self.mesh)
@@ -153,6 +159,21 @@ class NN:
         self._train_step = self._make_train_step()
         self._predict_step = self._make_predict_step()
         self.timer = StepTimer()
+
+    def _load_snapshot(self, loaded):
+        """Merge a checkpoint dict into params/state/opt_state."""
+        self.params = jax.tree.map(
+            lambda a, b: jnp.asarray(b), self.params, loaded["params"])
+        if loaded.get("state") is not None:
+            self.state = jax.tree.map(
+                lambda a, b: jnp.asarray(b), self.state, loaded["state"])
+        if loaded.get("opt") is not None:
+            try:
+                self.opt_state = jax.tree.map(
+                    lambda a, b: jnp.asarray(b),
+                    self.opt_state, loaded["opt"])
+            except ValueError:
+                pass  # optimizer config changed; restart moments
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -257,14 +278,24 @@ class NN:
         losses, sizes = [], []
         epoch_key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
 
+        # mid-epoch resume: the per-epoch batch stream is deterministic
+        # (dataloader derives its RNGs from (seed, set_key, epoch)), so
+        # skipping the consumed prefix resumes exactly where the crash hit
+        skip = 0
+        if self.inflight_resume and self.inflight_resume[0] == epoch:
+            skip = self.inflight_resume[1]
+            self.inflight_resume = None
+
+        # multi-process note: every host builds the IDENTICAL stream (the
+        # epoch-keyed dataloader RNGs guarantee it) and shard_batch places
+        # each host's local rows of the global batch — one SPMD program,
+        # so the step key must also be identical across hosts
         gen = self.data_loader.get_batch(
             batch_size, set_key, train=True, labels=True,
-            curriculum=tcfg.get("curriculum", False))
-        if jax.process_count() > 1:
-            from ast_tpu.parallel.multihost import (
-                fold_host_into_key, shard_batches_for_host)
-            gen = shard_batches_for_host(gen)
-            epoch_key = fold_host_into_key(epoch_key)
+            curriculum=tcfg.get("curriculum", False), epoch=epoch)
+        if skip:
+            import itertools
+            gen = itertools.islice(gen, skip, None)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, True))
 
         # in-epoch crash-recovery snapshots (the reference only
@@ -274,14 +305,18 @@ class NN:
         import time as _time
         t_epoch = _time.perf_counter()
         for i, batch in enumerate(prefetch):
-            key = jax.random.fold_in(epoch_key, i)
+            key = jax.random.fold_in(epoch_key, skip + i)
             self.params, self.state, self.opt_state, loss = self._train_step(
                 self.params, self.state, self.opt_state,
                 batch["X"], batch["y"], batch["n_real"], key)
             losses.append(loss)
             sizes.append(max(1, len(batch["utts"])))
             if ckpt_steps and (i + 1) % ckpt_steps == 0:
-                self.save_inflight(epoch, i + 1)
+                self.save_inflight(epoch, skip + i + 1)
+
+        if ckpt_steps:
+            # mark the epoch complete: "epoch+1 has consumed 0 batches"
+            self.save_inflight(epoch + 1, 0)
 
         if not losses:
             return 0.0
@@ -295,7 +330,11 @@ class NN:
         return sum(v / s for v, s in zip(vals, sizes)) / len(vals)
 
     def save_inflight(self, epoch, step):
-        """Atomic mid-epoch snapshot for crash recovery."""
+        """Atomic mid-epoch snapshot for crash recovery (process 0 only:
+        in multi-host runs all hosts hold identical params and consume
+        their stride of the same deterministic stream in lockstep)."""
+        if jax.process_index() != 0:
+            return
         import numpy as _np
         path = os.path.join(self.model_dir, "seq2seq_inflight.npz")
         tmp = path + ".tmp.npz"
@@ -335,13 +374,15 @@ class NN:
         return sum(v / s for v, s in zip(vals, sizes)) / len(vals)
 
     def predict(self, set_key):
+        """Greedy-decode a split.  Multi-process: hosts run the same SPMD
+        program over identical streams; the eval step's outputs are
+        replicated (dp.shard_eval_step), so every host returns the FULL
+        split — downstream BLEU indexes all of eval.ids (eval/bleu.py)."""
         batch_size = self.cfg.train["batch_size"]
         preds = []
         gen = self.data_loader.get_batch(
-            batch_size, set_key, train=False, labels=False)
-        if jax.process_count() > 1:
-            from ast_tpu.parallel.multihost import shard_batches_for_host
-            gen = shard_batches_for_host(gen)
+            batch_size, set_key, train=False, labels=False,
+            epoch=0 if jax.process_count() > 1 else None)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
         for batch in prefetch:
             p = self._predict_step(self.params, self.state, batch["X"])
@@ -352,8 +393,12 @@ class NN:
     # ------------------------------------------------------------------
     # beam decode (batched on device)
     # ------------------------------------------------------------------
-    def decode_beam_set(self, set_key, N, K, batch_size=None):
-        """Beam-decode a whole split.  Returns {utt: [(hyp_ids, score)]}."""
+    def decode_beam_set(self, set_key, N, K, batch_size=None,
+                        save_attn=False):
+        """Beam-decode a whole split.  Returns {utt: [(hyp_ids, score)]},
+        or {utt: [(hyp_ids, score, attn_history)]} with ``save_attn``
+        (attn_history: (len, T') float32 — reference beam entries carry
+        the per-step alphas, reference: beam.py:121)."""
         if batch_size is None:
             batch_size = self.cfg.train["batch_size"]
         stop_limit = self.cfg.train["data"]["max_pred"]
@@ -363,21 +408,25 @@ class NN:
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
         decode = beam_ops.make_beam_decoder(
             self.mcfg, N=N, K=K, stop_limit=stop_limit,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, return_attn=save_attn)
+        # one jit per decode set, not per batch (jitting a fresh bound
+        # method in the loop would recompile every iteration)
+        featurize = jax.jit(self._featurize) if self.wav_mode else None
         for batch in prefetch:
             X = batch["X"]
-            if self.wav_mode:
-                X = jax.jit(self._featurize)(X)
-            hyps, scores, lengths = decode(self.params, self.state, X)
-            hyps = np.asarray(hyps)
-            scores = np.asarray(scores)
-            lengths = np.asarray(lengths)
+            if featurize is not None:
+                X = featurize(X)
+            out = decode(self.params, self.state, X)
+            hyps, scores, lengths = (np.asarray(a) for a in out[:3])
+            attn = np.asarray(out[3]) if save_attn else None
             for j, utt in enumerate(batch["utts"]):
                 entries = []
                 for n in range(hyps.shape[1]):
                     L = int(lengths[j, n])
-                    entries.append((hyps[j, n, :L].tolist(),
-                                    float(scores[j, n])))
+                    e = (hyps[j, n, :L].tolist(), float(scores[j, n]))
+                    if save_attn:
+                        e = e + (attn[j, n, :L],)
+                    entries.append(e)
                 results[utt] = entries
         return results
 
@@ -385,6 +434,8 @@ class NN:
     # checkpointing
     # ------------------------------------------------------------------
     def save(self, epoch):
+        if jax.process_index() != 0:
+            return
         save_checkpoint(
             checkpoint_path(self.model_dir, epoch),
             self.params, self.state, self.opt_state,

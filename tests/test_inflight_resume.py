@@ -1,0 +1,113 @@
+"""Mid-epoch crash recovery: inflight snapshots are actually consumed.
+
+The reference can only resume at epoch boundaries (reference:
+nn.py:139-156); ast_tpu additionally snapshots every ``checkpoint_steps``
+batches and — because the per-epoch batch stream is deterministic — a
+fresh process resumes the SAME epoch at the SAME position, consuming
+exactly the unconsumed suffix of the stream.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_tiny_experiment
+
+
+def _enable_step_ckpt(exp, every=1):
+    cfg_path = os.path.join(exp, "train_cfg.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["checkpoint_steps"] = every
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def _crash_after(nn, n_batches, consumed):
+    """Wrap the loader so the stream raises after ``n_batches`` yields."""
+    orig = nn.data_loader.get_batch
+
+    def wrapper(*a, **k):
+        for i, b in enumerate(orig(*a, **k)):
+            if i == n_batches:
+                raise _Boom()
+            consumed.append(tuple(b["utts"]))
+            yield b
+
+    nn.data_loader.get_batch = wrapper
+
+
+def test_kill_and_resume_consumes_exact_suffix(tmp_path):
+    from ast_tpu.train.trainer import NN
+
+    exp = make_tiny_experiment(str(tmp_path), n_train=12, n_dev=4,
+                               batch_size=4)
+    _enable_step_ckpt(exp)
+
+    # run 1: crash after 2 batches (each already snapshotted)
+    nn1 = NN(exp)
+    first = []
+    _crash_after(nn1, 2, first)
+    with pytest.raises(_Boom):
+        nn1.train_epoch("tiny_train", epoch=1)
+    assert len(first) == 2
+    assert os.path.exists(os.path.join(exp, "seq2seq_inflight.npz"))
+
+    # run 2 (fresh process stand-in): picks up the inflight snapshot
+    nn2 = NN(exp)
+    assert nn2.max_epoch == 0          # CLI restarts epoch 1
+    skip = nn2.inflight_resume[1]
+    assert nn2.inflight_resume[0] == 1 and 1 <= skip <= 2
+
+    # params actually came from the snapshot: nn1's params after the two
+    # trained batches, not a fresh init
+    np.testing.assert_array_equal(np.asarray(nn2.params["dec"]["out_w"]),
+                                  np.asarray(nn1.params["dec"]["out_w"]))
+
+    second = []
+    _crash_after(nn2, 10**9, second)
+    loss = nn2.train_epoch("tiny_train", epoch=1)
+    assert np.isfinite(loss)
+
+    # the resumed run consumed EXACTLY the unconsumed suffix of the
+    # deterministic epoch-1 stream: the generator replays the identical
+    # stream (islice pulls-and-drops the consumed prefix), and the number
+    # of TRAINED steps is the stream minus the skipped prefix
+    from ast_tpu.config import Config
+    from ast_tpu.data.dataloader import make_dataloader
+    cfg = Config(exp)
+    dl = make_dataloader(cfg.train, cfg.model["model_dir"])
+    stream = [tuple(b["utts"]) for b in dl.get_batch(
+        4, "tiny_train", train=True, labels=True, epoch=1)]
+    assert first == stream[:2]
+    assert second == stream
+    assert nn2.timer.n_steps == len(stream) - skip
+
+    # epoch completion writes the "epoch 2, 0 consumed" marker: a third
+    # process starts cleanly at epoch 2 with the trained params
+    nn3 = NN(exp)
+    assert nn3.max_epoch == 1
+    assert nn3.inflight_resume is None
+    np.testing.assert_array_equal(np.asarray(nn3.params["dec"]["out_w"]),
+                                  np.asarray(nn2.params["dec"]["out_w"]))
+
+
+def test_stale_inflight_is_ignored(tmp_path):
+    from ast_tpu.train.trainer import NN
+
+    exp = make_tiny_experiment(str(tmp_path), n_train=8, n_dev=4,
+                               batch_size=4)
+    _enable_step_ckpt(exp)
+    nn1 = NN(exp)
+    nn1.train_epoch("tiny_train", epoch=1)
+    nn1.save(5)  # a NEWER epoch checkpoint outranks the inflight file
+
+    nn2 = NN(exp)
+    assert nn2.max_epoch == 5
+    assert nn2.inflight_resume is None
