@@ -10,6 +10,8 @@ per epoch — train, greedy-decode dev, BLEU, append ``train.log``
 import argparse
 import os
 
+import jax
+
 from ast_tpu.eval.bleu import Eval
 from ast_tpu.train.trainer import NN
 
@@ -49,15 +51,21 @@ def main(argv=None):
                 epoch_loss = nn.train_epoch(train_key, epoch=epoch)
         else:
             epoch_loss = nn.train_epoch(train_key, epoch=epoch)
-        with open(nn.train_log, mode="a") as train_log:
-            train_log.write(f"{epoch:d}, {epoch_loss:.4f}\n")
+        # log/checkpoint writes belong to process 0 (multi-host runs may
+        # share the experiment dir); predict() all-gathers so BLEU is
+        # computed over the full dev split on every host
+        is_p0 = jax.process_index() == 0
+        if is_p0:
+            with open(nn.train_log, mode="a") as train_log:
+                train_log.write(f"{epoch:d}, {epoch_loss:.4f}\n")
 
         preds = nn.predict(dev_key)
         hyps = nn.data_loader.get_hyps(preds)
         bleu = metrics.calc_bleu(hyps) * 100
 
-        with open(nn.dev_log, mode="a") as dev_log:
-            dev_log.write(f"{epoch:d}, {bleu:.2f}\n")
+        if is_p0:
+            with open(nn.dev_log, mode="a") as dev_log:
+                dev_log.write(f"{epoch:d}, {bleu:.2f}\n")
         print(f"BLEU = {bleu:.2f}")
         print(f"train throughput = {nn.timer.items_per_sec:.1f} utts/sec")
         nn.timer.reset()

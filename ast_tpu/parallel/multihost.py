@@ -1,14 +1,20 @@
 """Multi-host (DCN) coordination.
 
 New capability vs. the single-process reference (SURVEY §2.5).  Model:
-every host runs the same program; ``jax.distributed`` handles the global
-device mesh; the *data* pipeline is split by giving every host the same
-deterministic batch list (same experiment seed => same shuffles) and
-striding it by process index — bucket boundaries are respected because
-striding happens after bucketing/batching.  Gradient all-reduce rides
-ICI within a slice and DCN across slices, inserted by XLA from the mesh
-shardings; per-host RNG is decorrelated by folding the process index
-into the step key.
+every host runs the SAME SPMD program over a global device mesh
+(``jax.distributed`` + :mod:`ast_tpu.parallel.mesh`).  The data pipeline
+is NOT striped per host — each host builds the identical deterministic
+batch stream (the dataloader derives its shuffle/augmentation RNGs from
+(seed, set_key, epoch), and seeds are sha256-stable across processes) and
+``shard_batch`` extracts the host's local rows of each global batch.
+Gradient all-reduce rides ICI within a slice and DCN across slices,
+inserted by XLA from the mesh shardings; eval outputs are replicated so
+every host holds the full predictions (see :mod:`ast_tpu.parallel.dp`).
+Log/checkpoint writes belong to process 0 (trainer + CLI guards).
+
+Validated end-to-end by a real 2-process CPU test
+(tests/test_multihost_mp.py): one train epoch + greedy predict, with
+identical param digests and full-split predictions on both hosts.
 """
 
 import jax
@@ -33,19 +39,6 @@ def host_info():
     return jax.process_index(), jax.process_count()
 
 
-def shard_batches_for_host(batch_iter, host_id=None, n_hosts=None):
-    """Stride a deterministic batch stream so each host consumes a
-    disjoint subset.  All hosts must build the identical stream (same
-    seed) — then host h takes batches h, h+n, h+2n, ..."""
-    if host_id is None or n_hosts is None:
-        host_id, n_hosts = host_info()
-    for i, batch in enumerate(batch_iter):
-        if i % n_hosts == host_id:
-            yield batch
-
-
-def fold_host_into_key(key, host_id=None):
-    """Per-host RNG decorrelation for dropout/noise streams."""
-    if host_id is None:
-        host_id = jax.process_index()
-    return jax.random.fold_in(key, host_id)
+def is_primary():
+    """True on the process that owns log/checkpoint writes."""
+    return jax.process_index() == 0
