@@ -26,6 +26,10 @@ def main(argv=None):
     parser.add_argument("-w", "--W", required=True, help="len norm weight")
     parser.add_argument("--resume", action="store_true",
                         help="reuse pickled beam results")
+    parser.add_argument("--save-attn", action="store_true",
+                        help="pickle per-hypothesis attention history "
+                             "alongside (hyp, score), as the reference "
+                             "beam entries do")
     args = parser.parse_args(argv)
 
     cfg_path = args.cfg_path
@@ -43,7 +47,8 @@ def main(argv=None):
             beam = pickle.load(f)
     else:
         print("Computing beam results (batched on device)")
-        beam = nn.decode_beam_set(set_key, N=N, K=K)
+        beam = nn.decode_beam_set(set_key, N=N, K=K,
+                                  save_attn=args.save_attn)
         with open(beam_path, "wb") as f:
             pickle.dump(beam, f)
 

@@ -29,11 +29,19 @@ from ast_tpu.symbols import SYMBOLS
 NEG_INF = -1e30
 
 
-def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32):
+def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
+                      return_attn=False):
     """Build a jitted ``(params, state, X) -> (hyps, scores, lengths)``.
 
     hyps: (B, N, stop_limit+1) int32 token ids beginning with GO;
     scores: (B, N) summed log-probs; lengths: (B, N) valid token counts.
+
+    ``return_attn=True`` additionally returns the per-hypothesis attention
+    history (B, N, stop_limit+1, T') — alphas of the step that produced
+    each token, beam-gathered through reranking exactly like the token
+    prefixes (reference beam entries carry (hyp, score, attn_history),
+    beam.py:121).  Costs O(N * stop_limit * T') HBM per utterance, so it
+    is off by default for bulk decoding.
     """
     max_len = stop_limit + 1
 
@@ -58,20 +66,24 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32):
             "ht": tile(carry["ht"], 0),                   # (B*N, A)
         }
 
+        T_enc = enc_states.shape[1]
         scores0 = jnp.full((B, N), NEG_INF).at[:, 0].set(0.0)
         tokens0 = jnp.full((B, N, max_len), SYMBOLS.PAD_ID, jnp.int32)
         tokens0 = tokens0.at[:, :, 0].set(SYMBOLS.GO_ID)
         lengths0 = jnp.ones((B, N), jnp.int32)
         finished0 = jnp.zeros((B, N), bool)
         last0 = jnp.full((B, N), SYMBOLS.GO_ID, jnp.int32)
+        attn0 = jnp.zeros(
+            (B, N, max_len, T_enc) if return_attn else (B, N, 1, 1),
+            jnp.float32)
 
         def cond(loop):
-            step, _, _, _, finished, _, _ = loop
+            step, _, _, _, finished, _, _, _ = loop
             return (step < stop_limit) & ~jnp.all(finished)
 
         def body(loop):
-            step, scores, tokens, lengths, finished, last, carry = loop
-            logits, new_carry, _ = seq2seq.decode_step(
+            step, scores, tokens, lengths, finished, last, carry, attn = loop
+            logits, new_carry, alphas = seq2seq.decode_step(
                 params, mcfg, enc_tiled, carry, last.reshape(B * N),
                 jax.random.PRNGKey(0), False, compute_dtype)
             logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, N, -1)
@@ -102,6 +114,19 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32):
             new_lengths = p_len + (~p_fin).astype(jnp.int32)
             new_finished = p_fin | (tok == SYMBOLS.EOS_ID)
 
+            if return_attn:
+                # attention of the step that produced ``tok``, gathered
+                # from the parent hypothesis like the token prefix
+                sel = jnp.take_along_axis(
+                    alphas.reshape(B, N, T_enc).astype(jnp.float32),
+                    parent[:, :, None], axis=1)            # (B, N, T)
+                p_attn = jnp.take_along_axis(
+                    attn, parent[:, :, None, None], axis=1)
+                new_attn = jnp.where(write[:, :, :, None],
+                                     sel[:, :, None, :], p_attn)
+            else:
+                new_attn = attn
+
             # gather parent LSTM/attention states
             def gather_batch(x):
                 # x: (..., B*N, ...) with beam folded at axis -2 of (B, N)
@@ -124,12 +149,14 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32):
             }
 
             return (step + 1, new_scores, new_tokens, new_lengths,
-                    new_finished, tok, new_carry)
+                    new_finished, tok, new_carry, new_attn)
 
         loop0 = (jnp.int32(0), scores0, tokens0, lengths0, finished0,
-                 last0, carry)
-        _, scores, tokens, lengths, finished, _, _ = lax.while_loop(
+                 last0, carry, attn0)
+        _, scores, tokens, lengths, finished, _, _, attn = lax.while_loop(
             cond, body, loop0)
+        if return_attn:
+            return tokens, scores, lengths, attn
         return tokens, scores, lengths
 
     return decode
@@ -140,10 +167,10 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def rerank_hypothesis(beam_hyps, weight):
-    """[(hyp_ids, score)] -> sorted [(hyp_ids, norm_score, len)]."""
+    """[(hyp_ids, score[, attn])] -> sorted [(hyp_ids, norm_score, len)]."""
     return sorted(
-        [(h, s / (max(1, len(h) - 2) ** weight), len(h))
-         for h, s in beam_hyps],
+        [(e[0], e[1] / (max(1, len(e[0]) - 2) ** weight), len(e[0]))
+         for e in beam_hyps],
         reverse=True, key=lambda t: t[1])
 
 

@@ -76,3 +76,55 @@ def test_rerank_weight_zero_keeps_raw_order():
     beams = [([1, 4, 5, 2], -1.0), ([1, 4, 2], -0.8)]
     best = beam_ops.get_best_hyps({"u": beams}, W=0.0)
     assert best["u"] == [1, 4, 2]
+
+
+def test_beam_attention_history(model):
+    """return_attn carries per-token alphas gathered through reranking
+    (reference beam entries are (hyp, score, attn_history), beam.py:121):
+    rows 1..L-1 are softmax distributions over encoder time; row 0 (GO)
+    and rows past L are zero."""
+    mcfg, params, state = model
+    X = jax.random.normal(jax.random.PRNGKey(4), (2, 80, 13))
+    stop = 8
+    decode = beam_ops.make_beam_decoder(mcfg, N=3, K=3, stop_limit=stop,
+                                        return_attn=True)
+    hyps, scores, lengths, attn = decode(params, state, X)
+    hyps, lengths, attn = (np.asarray(a) for a in (hyps, lengths, attn))
+    T_enc = attn.shape[-1]
+    assert attn.shape[:3] == (2, 3, stop + 1)
+    for b in range(2):
+        for n in range(3):
+            L = int(lengths[b, n])
+            np.testing.assert_allclose(attn[b, n, 0], 0.0)
+            sums = attn[b, n, 1:L].sum(axis=-1)
+            np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
+            assert (attn[b, n, 1:L] >= 0).all()
+            if L <= stop:
+                np.testing.assert_allclose(attn[b, n, L:], 0.0)
+
+
+def test_beam_attn_matches_greedy_alphas(model):
+    """At N=K=1 the beam's stored alphas are exactly the decode_step
+    alphas along the greedy path."""
+    mcfg, params, state = model
+    X = jax.random.normal(jax.random.PRNGKey(5), (1, 80, 13))
+    stop = 6
+    decode = beam_ops.make_beam_decoder(mcfg, N=1, K=1, stop_limit=stop,
+                                        return_attn=True)
+    hyps, scores, lengths, attn = decode(params, state, X)
+    hyps, attn = np.asarray(hyps), np.asarray(attn)
+    L = int(np.asarray(lengths)[0, 0])
+
+    # replay manually with decode_step
+    enc_states, h0, c0, _ = seq2seq.encode(
+        params, state, mcfg, X, jax.random.PRNGKey(0), False)
+    carry = seq2seq.init_decoder_carry(mcfg, h0, c0)
+    word = jnp.full((1,), SYMBOLS.GO_ID, jnp.int32)
+    for t in range(1, L):
+        logits, carry, alphas = seq2seq.decode_step(
+            params, mcfg, enc_states, carry, word, jax.random.PRNGKey(0),
+            False)
+        np.testing.assert_allclose(attn[0, 0, t], np.asarray(alphas)[0],
+                                   rtol=2e-4, atol=1e-6)
+        word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        np.testing.assert_array_equal(int(word[0]), hyps[0, 0, t])
