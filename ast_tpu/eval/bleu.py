@@ -5,7 +5,7 @@ Lin & Och (2004) add-one smoothing ("method2": +1 to numerator and
 denominator of every n-gram precision except unigrams) — numerically
 identical to NLTK's ``corpus_bleu(..., smoothing_function=method2)`` as
 used by the reference (reference: eval.py:29-38); parity is pinned by
-tests/test_bleu.py against the installed NLTK.
+tests/test_foundations.py (BLEU section) against the installed NLTK.
 
 ``Eval`` mirrors the reference protocol exactly (reference: eval.py:12-47):
 ``eval.ids`` fixes the utterance order, ``ref.en0..N-1`` hold the reference

@@ -2,16 +2,21 @@
 """Benchmark: training throughput (utterances/sec/chip) on the flagship
 es_en_20h model shape, real hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-``vs_baseline`` compares against a measured stand-in for the reference's
-execution model: the same math dispatched per-timestep WITHOUT jit/scan
-(one XLA op dispatch per LSTM step, as Chainer/CuPy launches one CUDA
-kernel per op — reference: seq2seq.py:205-242 Python time loop).  The
-reference itself (Chainer+CuPy, CUDA) cannot run on this machine; the
-stand-in reproduces its kernel-dispatch-bound pattern on identical
-hardware, so the ratio isolates the framework design (fused scan, static
-shapes, on-device decode) rather than the chip.
+Two baselines are measured and reported (BASELINE.md caveats):
+
+- ``vs_jitted_scan`` (== ``vs_baseline``, the headline): the same train
+  step with the Pallas kernels disabled and f32 compute — a fully-jitted
+  lax.scan program, i.e. the strongest honest competitor on this chip.
+  This is the conservative ratio: everything it beats comes from the
+  fused kernels + bf16 policy, not from jit-vs-eager framing.
+- ``vs_dispatch_standin``: per-timestep op dispatch without jit over the
+  loops, reproducing the reference's execution model (Chainer/CuPy
+  launches one CUDA kernel per op per step — reference: seq2seq.py:205-242
+  Python time loop).  Forward-only, favoring the baseline; but on this
+  machine each dispatch crosses a remote-TPU tunnel, so treat it as an
+  upper bound.
 """
 
 import json
@@ -48,16 +53,17 @@ def _batch(B, T, U, V=1098, seed=0):
 
 
 def bench_train_step(n_steps=30, B=32, T=640, U=48,
-                     compute_dtype=jnp.bfloat16):
+                     compute_dtype=jnp.bfloat16, fused=True, n_rounds=4):
     """Jitted full train step (fwd+bwd+adam) throughput.
 
     Shapes mirror the es_en_20h recipe (batch 32, bucket 8 of 20 at 80
     frames/bucket); bf16 matmul compute with f32 accumulation is the
-    recommended TPU configuration (2.6x over f32 on v5e)."""
+    recommended TPU configuration (2.6x over f32 on v5e).  ``fused=False``
+    measures the lax.scan path (the jitted-scan baseline)."""
     from ast_tpu.models import seq2seq
     from ast_tpu.train.optimizer import build_optimizer
 
-    mcfg, params, state = _flagship()
+    mcfg, params, state = _flagship(fused=fused)
     opt_cfg = {"type": 0, "lr": 1e-3, "l2": 1e-4, "grad_clip": 2,
                "grad_noise_eta": 0, "freeze": []}
     opt, opt_state = build_optimizer(opt_cfg, params)
@@ -89,7 +95,7 @@ def bench_train_step(n_steps=30, B=32, T=640, U=48,
     float(jax.device_get(loss))
 
     best = 0.0
-    for round_i in range(4):
+    for round_i in range(n_rounds):
         t0 = time.perf_counter()
         for i in range(n_steps):
             params, state, opt_state, loss = step(
@@ -178,15 +184,29 @@ def bench_reference_style(n_steps=2, B=32, T=640, U=48):
 def main():
     value = bench_train_step()
     try:
-        baseline = bench_reference_style()
+        scan_f32 = bench_train_step(n_steps=15, compute_dtype=jnp.float32,
+                                    fused=False, n_rounds=2)
     except Exception:
-        baseline = None
-    vs = (value / baseline) if baseline else None
+        scan_f32 = None
+    try:
+        standin = bench_reference_style()
+    except Exception:
+        standin = None
+    vs_scan = (value / scan_f32) if scan_f32 else None
+    vs_standin = (value / standin) if standin else None
     print(json.dumps({
         "metric": "fisher_es_en_20h_train_utts_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "utts/sec/chip",
-        "vs_baseline": round(vs, 2) if vs else None,
+        # headline ratio = the defensible one: vs our own fully-jitted
+        # f32 lax.scan step on the same chip
+        "vs_baseline": round(vs_scan, 2) if vs_scan else None,
+        "vs_jitted_scan": round(vs_scan, 2) if vs_scan else None,
+        "vs_dispatch_standin": round(vs_standin, 2) if vs_standin else None,
+        "baseline_utts_per_sec": {
+            "jitted_scan_f32": round(scan_f32, 2) if scan_f32 else None,
+            "dispatch_standin": round(standin, 2) if standin else None,
+        },
     }))
 
 
