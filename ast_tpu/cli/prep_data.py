@@ -113,6 +113,31 @@ def cmd_mfcc(args):
     print(f"extracted MFCC for {n} files into {args.out_dir}")
 
 
+def cmd_bnf(args):
+    """Bottleneck features: forward precomputed features through a
+    text-format Kaldi nnet2 raw net (reference: create_bnfs.sh:46-53 ->
+    dump_bottleneck_features.sh -> nnet-compute final.raw)."""
+    from ast_tpu.ops import bnf as bnf_ops
+    net = bnf_ops.load_nnet2(args.model)
+    transform = np.loadtxt(args.lda_mat) if args.lda_mat else None
+    os.makedirs(args.out_dir, exist_ok=True)
+    n = 0
+    for fname in sorted(os.listdir(args.feat_dir)):
+        if not fname.endswith(".npy"):
+            continue
+        feats = np.load(os.path.join(args.feat_dir, fname))
+        if args.feat_type == "delta":
+            feats = bnf_ops.add_deltas(feats)
+        elif args.feat_type == "lda":
+            feats = bnf_ops.splice_frames(feats, args.splice, args.splice)
+            if transform is not None:
+                feats = bnf_ops.apply_transform(feats, transform)
+        out = np.asarray(bnf_ops.nnet2_forward(net, feats))
+        np.save(os.path.join(args.out_dir, fname), out)
+        n += 1
+    print(f"wrote BNF for {n} files into {args.out_dir}")
+
+
 def cmd_cmvn(args):
     """Per-speaker CMVN statistics (reference: compute_cmvn_stats.sh +
     apply-cmvn --norm-vars=true, SURVEY §2.4)."""
@@ -183,6 +208,19 @@ def main(argv=None):
     p.add_argument("audio_dir")
     p.add_argument("out_dir")
     p.set_defaults(fn=cmd_mfcc)
+
+    p = sub.add_parser("bnf")
+    p.add_argument("feat_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--model", required=True,
+                   help="text-format nnet2 raw net (final.raw via "
+                        "nnet-copy --binary=false)")
+    p.add_argument("--feat-type", choices=["raw", "delta", "lda"],
+                   default="raw")
+    p.add_argument("--lda-mat", default=None,
+                   help="final.mat as plain text (for --feat-type lda)")
+    p.add_argument("--splice", type=int, default=4)
+    p.set_defaults(fn=cmd_bnf)
 
     p = sub.add_parser("cmvn")
     p.add_argument("--feat_dir", required=True)
