@@ -247,11 +247,11 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
     # Mosaic kernel (see ast_tpu.ops.fused_lstm); fall back to lax.scan
     # when disabled or when the variant doesn't apply (LayerNorm).
     use_ln = rnn.get("ln", False)
-    from ast_tpu.ops.fused_lstm import fused_fits
-    use_fused = (rnn.get("fused_encoder", False) and not use_ln
-                 and fused_fits(
-                     n_layers, n_dirs, B, enc_units,
-                     2 if compute_dtype != jnp.float32 else 4))
+    from ast_tpu.ops.fused_lstm import fused_chunk_size
+    chunk = fused_chunk_size(
+        n_layers, n_dirs, B, enc_units,
+        2 if compute_dtype != jnp.float32 else 4)
+    use_fused = rnn.get("fused_encoder", False) and not use_ln and chunk > 0
     if use_fused:
         from ast_tpu.ops.fused_lstm import (
             fused_stacked_lstm, pack_encoder_weights)
@@ -261,13 +261,22 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
             wx_rest = wx_rest.astype(compute_dtype)
             wh_s = wh_s.astype(compute_dtype)
         seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
-        outs_f, h_fin_f, c_fin_f = fused_stacked_lstm(
-            x0_proj, wx_rest, wh_s, b_s, seed,
-            bool(train), float(drop) if train else 0.0,
-            bool(rnn.get("fused_interpret", False)))
-        # (T,D2,B,H) / (L,D2,B,H) -> scan-layout (T,D,B,H) etc.
-        outs = outs_f
-        h_fin, c_fin = h_fin_f, c_fin_f
+        interp = bool(rnn.get("fused_interpret", False))
+        # batches past the VMEM budget run as independent chunk calls
+        # (no cross-batch coupling in the recurrence)
+        chunks = []
+        for ci, b0 in enumerate(range(0, B, chunk)):
+            chunks.append(fused_stacked_lstm(
+                x0_proj[:, :, b0:b0 + chunk], wx_rest, wh_s, b_s,
+                seed + 7919 * ci,
+                bool(train), float(drop) if train else 0.0, interp))
+        if len(chunks) == 1:
+            outs, h_fin, c_fin = chunks[0]
+        else:
+            # (T,D2,B,H) / (L,D2,B,H): concat on the batch axis
+            outs = jnp.concatenate([c[0] for c in chunks], axis=2)
+            h_fin = jnp.concatenate([c[1] for c in chunks], axis=2)
+            c_fin = jnp.concatenate([c[2] for c in chunks], axis=2)
     else:
         step_keys = jax.random.split(key, Tp)
         h0 = jnp.zeros((n_layers, n_dirs, B, enc_units))
@@ -544,14 +553,14 @@ def _use_fused_decoder(mcfg, params, enc_states, y, compute_dtype,
         return False
     if rnn.get("fused_interpret", False):
         return True  # interpret-mode tests bypass the alignment gate
-    from ast_tpu.ops.fused_decoder import fused_decoder_fits, round_up
+    from ast_tpu.ops.fused_decoder import fused_decoder_chunk, round_up
     B, T, H = enc_states.shape
     L = rnn["dec_layers"]
     E = rnn["embedding_units"]
     A = rnn["attn_units"]
     Vp = round_up(rnn["dec_vocab_size"], 128)
     wb = 2 if compute_dtype != jnp.float32 else 4
-    return fused_decoder_fits(L, B, H, E, A, T, Vp, wb)
+    return fused_decoder_chunk(L, B, H, E, A, T, Vp, wb) > 0
 
 
 def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
@@ -607,14 +616,34 @@ def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
     }
     seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32)
 
-    ht_seq = fused_decoder_apply(
-        enc_states.astype(wdt), dec_h0, dec_c0,
-        w["wx0"], w["wx_rest"], w["wh"], w["b"], w["wa"], w["wa_b"],
-        w["ctx_w"], w["ctx_b"], w["out_w"], w["out_b"], w["embed"],
-        y_oh, coins, seed,
-        float(mcfg["dropout"]["embed"]) if train else 0.0,
-        float(mcfg["dropout"]["rnn"]) if train else 0.0,
-        bool(train), bool(rnn.get("fused_interpret", False)))
+    from ast_tpu.ops.fused_decoder import fused_decoder_chunk
+    wb = 2 if wdt != jnp.float32 else 4
+    chunk = fused_decoder_chunk(
+        len(dec["lstm"]), B, rnn["hidden_units"],
+        rnn["embedding_units"], rnn["attn_units"],
+        enc_states.shape[1], Vp, wb)
+    if chunk <= 0 or B % chunk:
+        chunk = B  # interpret-mode tests bypass the alignment gate
+
+    def run(b0, b1, ci):
+        return fused_decoder_apply(
+            enc_states[b0:b1].astype(wdt), dec_h0[:, b0:b1],
+            dec_c0[:, b0:b1],
+            w["wx0"], w["wx_rest"], w["wh"], w["b"], w["wa"], w["wa_b"],
+            w["ctx_w"], w["ctx_b"], w["out_w"], w["out_b"], w["embed"],
+            y_oh[:, b0:b1], coins, seed + 7919 * ci,
+            float(mcfg["dropout"]["embed"]) if train else 0.0,
+            float(mcfg["dropout"]["rnn"]) if train else 0.0,
+            bool(train), bool(rnn.get("fused_interpret", False)))
+
+    if chunk == B:
+        ht_seq = run(0, B, 0)
+    else:
+        # batches past the VMEM budget run as independent chunk calls
+        # (the decoder recurrence has no cross-batch coupling)
+        ht_seq = jnp.concatenate(
+            [run(b0, b0 + chunk, ci)
+             for ci, b0 in enumerate(range(0, B, chunk))], axis=1)
 
     # loss logits: one large (steps*B, A) @ (A, V) matmul
     logits = jnp.einsum(

@@ -377,6 +377,21 @@ def fused_fits(L, D2, B, H, weight_bytes=4):
     return est < VMEM_BUDGET
 
 
+def fused_chunk_size(L, D2, B, H, weight_bytes=4):
+    """Largest batch chunk (a divisor of B, multiple of 8) whose kernel
+    fits in VMEM; 0 when none does.  Large batches (B=128) run the fused
+    recurrence as a few independent chunk calls — batch rows don't
+    interact inside the LSTM stack, so chunking is semantics-preserving
+    (BatchNorm runs outside, in the conv front-end)."""
+    c = B
+    while c >= 8:
+        if c % 8 == 0 and B % c == 0 and fused_fits(L, D2, c, H,
+                                                    weight_bytes):
+            return c
+        c //= 2
+    return 0
+
+
 def pack_encoder_weights(enc_layers):
     """Direction-stacked per-layer dicts -> stacked kernel arrays.
 

@@ -52,14 +52,15 @@ def _batch(B, T, U, V=1098, seed=0):
     return jnp.asarray(X), jnp.asarray(y)
 
 
-def bench_train_step(n_steps=30, B=32, T=640, U=48,
-                     compute_dtype=jnp.bfloat16, fused=True, n_rounds=4):
-    """Jitted full train step (fwd+bwd+adam) throughput.
+def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
+                      fused=True):
+    """Compile + warm a full train step (fwd+bwd+adam); return a
+    ``run(n_steps) -> utts/sec`` closure.
 
     Shapes mirror the es_en_20h recipe (batch 32, bucket 8 of 20 at 80
     frames/bucket); bf16 matmul compute with f32 accumulation is the
     recommended TPU configuration (2.6x over f32 on v5e).  ``fused=False``
-    measures the lax.scan path (the jitted-scan baseline)."""
+    compiles the lax.scan path (the jitted-scan baseline)."""
     from ast_tpu.models import seq2seq
     from ast_tpu.train.optimizer import build_optimizer
 
@@ -87,23 +88,33 @@ def bench_train_step(n_steps=30, B=32, T=640, U=48,
     # compile + warm-up.  NOTE: on this TPU runtime block_until_ready()
     # does not reliably wait for remote compute — every timed region must
     # end with a value transfer (device_get) to be a true sync point.
-    params, state, opt_state, loss = step(params, state, opt_state, X, y, key)
+    carry = {"v": (params, state, opt_state)}
+    p, s, o = carry["v"]
+    p, s, o, loss = step(p, s, o, X, y, key)
     float(jax.device_get(loss))
     for i in range(10):
-        params, state, opt_state, loss = step(
-            params, state, opt_state, X, y, jax.random.fold_in(key, 1000 + i))
+        p, s, o, loss = step(p, s, o, X, y,
+                             jax.random.fold_in(key, 1000 + i))
     float(jax.device_get(loss))
+    carry["v"] = (p, s, o)
 
-    best = 0.0
-    for round_i in range(n_rounds):
+    def run(n_steps):
+        p, s, o = carry["v"]
         t0 = time.perf_counter()
         for i in range(n_steps):
-            params, state, opt_state, loss = step(
-                params, state, opt_state, X, y, jax.random.fold_in(key, i))
+            p, s, o, loss = step(p, s, o, X, y, jax.random.fold_in(key, i))
         float(jax.device_get(loss))
         dt = time.perf_counter() - t0
-        best = max(best, (n_steps * B) / dt)
-    return best
+        carry["v"] = (p, s, o)
+        return (n_steps * B) / dt
+
+    return run
+
+
+def bench_train_step(n_steps=30, B=32, T=640, U=48,
+                     compute_dtype=jnp.bfloat16, fused=True, n_rounds=4):
+    run = make_train_runner(B, T, U, compute_dtype, fused)
+    return max(run(n_steps) for _ in range(n_rounds))
 
 
 def bench_reference_style(n_steps=2, B=32, T=640, U=48):
@@ -182,12 +193,20 @@ def bench_reference_style(n_steps=2, B=32, T=640, U=48):
 
 
 def main():
-    value = bench_train_step()
+    # The remote-TPU tunnel swings >2x between minutes; interleave the
+    # measurement rounds of the two jitted configurations so a slow
+    # window depresses both rather than one, and take best-of per config.
+    run_fused = make_train_runner()
     try:
-        scan_f32 = bench_train_step(n_steps=15, compute_dtype=jnp.float32,
-                                    fused=False, n_rounds=2)
+        run_scan = make_train_runner(compute_dtype=jnp.float32,
+                                     fused=False)
     except Exception:
-        scan_f32 = None
+        run_scan = None
+    value, scan_f32 = 0.0, 0.0
+    for _ in range(4):
+        value = max(value, run_fused(30))
+        if run_scan is not None:
+            scan_f32 = max(scan_f32, run_scan(15))
     try:
         standin = bench_reference_style()
     except Exception:
