@@ -90,3 +90,50 @@ def test_model_parallel_loss_matches():
     batch = shard_batch({"X": X, "y": y}, mesh)
     got = float(jax.jit(loss_fn)(p_sharded, batch["X"], batch["y"]))
     assert abs(base - got) < 1e-3
+
+
+def test_dp_full_train_step_matches_single_device():
+    """The hard case the grad oracle above sidesteps: a FULL train-mode
+    step — dropout, speech noise, scheduled sampling, Adam update — on a
+    4x2 (dp x tp) mesh must produce the same params as one device.
+    jax.random is partitionable threefry, so the same key yields the
+    same random values regardless of sharding."""
+    from ast_tpu.train.optimizer import build_optimizer
+
+    mcfg, params, state = _model()
+    mcfg = dict(mcfg, dropout={"embed": 0.1, "rnn": 0.1, "out": 0})
+    B = 16
+    X = np.array(jax.random.normal(jax.random.PRNGKey(1), (B, 80, 13)),
+                 dtype=np.float32)
+    y = np.array(jax.random.randint(
+        jax.random.PRNGKey(2), (B, 10), 4, V), dtype=np.int32)
+    y[:, 0] = SYMBOLS.GO_ID
+    y[:, -1] = SYMBOLS.EOS_ID
+    opt_cfg = {"type": 0, "lr": 1e-2, "l2": 1e-4, "grad_clip": 2,
+               "grad_noise_eta": 0, "freeze": []}
+    opt, opt_state = build_optimizer(opt_cfg, params)
+    key = jax.random.PRNGKey(7)
+
+    def step(p, o, X, y):
+        def loss_fn(p):
+            return seq2seq.forward_loss(
+                p, state, mcfg, X, y, key, train=True, n_real=B,
+                teach_ratio=0.8, random_out=0.1, add_noise=0.25)
+
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        updates, o = opt.update(grads, o, p)
+        p = jax.tree.map(lambda a, u: a + u, p, updates)
+        return p, o, loss
+
+    p1, _, loss1 = jax.jit(step)(params, opt_state, X, y)
+
+    mesh = make_mesh({"data_axis": 4, "model_axis": 2})
+    p_repl = replicate(params, mesh)
+    o_repl = replicate(opt_state, mesh)
+    batch = shard_batch({"X": X, "y": y}, mesh)
+    p2, _, loss2 = jax.jit(step)(p_repl, o_repl, batch["X"], batch["y"])
+
+    assert abs(float(loss1) - float(loss2)) < 1e-4 * max(1, abs(float(loss1)))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
