@@ -30,7 +30,7 @@ NEG_INF = -1e30
 
 
 def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
-                      return_attn=False):
+                      return_attn=False, mesh=None):
     """Build a jitted ``(params, state, X) -> (hyps, scores, lengths)``.
 
     hyps: (B, N, stop_limit+1) int32 token ids beginning with GO;
@@ -42,10 +42,13 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
     prefixes (reference beam entries carry (hyp, score, attn_history),
     beam.py:121).  Costs O(N * stop_limit * T') HBM per utterance, so it
     is off by default for bulk decoding.
+
+    ``mesh``: constrain outputs to REPLICATED over the mesh so every
+    process materializes the full beams (multi-host SPMD decode, same
+    contract as dp.shard_eval_step).
     """
     max_len = stop_limit + 1
 
-    @jax.jit
     def decode(params, state, X):
         B = X.shape[0]
         key = jax.random.PRNGKey(0)
@@ -159,7 +162,11 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
             return tokens, scores, lengths, attn
         return tokens, scores, lengths
 
-    return decode
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        return jax.jit(decode,
+                       out_shardings=NamedSharding(mesh, PartitionSpec()))
+    return jax.jit(decode)
 
 
 # ---------------------------------------------------------------------------

@@ -408,7 +408,8 @@ class NN:
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
         decode = beam_ops.make_beam_decoder(
             self.mcfg, N=N, K=K, stop_limit=stop_limit,
-            compute_dtype=self.compute_dtype, return_attn=save_attn)
+            compute_dtype=self.compute_dtype, return_attn=save_attn,
+            mesh=self.mesh)
         # one jit per decode set, not per batch (jitting a fresh bound
         # method in the loop would recompile every iteration)
         featurize = jax.jit(self._featurize) if self.wav_mode else None

@@ -44,8 +44,12 @@ for leaf in jax.tree_util.tree_leaves(nn.params):
 preds = nn.predict("tiny_dev")
 utts = ",".join(sorted(u for u, _ in preds))
 
+beams = nn.decode_beam_set("tiny_dev", N=2, K=2)
+assert all(len(hyps) == 2 for hyps in beams.values())
+
 print(f"RESULT {proc_id} {loss:.6f} {h.hexdigest()} {len(preds)} "
-      f"{hashlib.sha256(utts.encode()).hexdigest()}", flush=True)
+      f"{hashlib.sha256(utts.encode()).hexdigest()} {len(beams)}",
+      flush=True)
 """
 
 
@@ -82,8 +86,10 @@ def test_two_process_train_and_predict(tmp_path):
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT "):
-                _, pid, loss, digest, n_preds, utt_hash = line.split()
-                results[int(pid)] = (loss, digest, int(n_preds), utt_hash)
+                (_, pid, loss, digest, n_preds, utt_hash,
+                 n_beams) = line.split()
+                results[int(pid)] = (loss, digest, int(n_preds), utt_hash,
+                                     int(n_beams))
     assert set(results) == {0, 1}, f"missing RESULT lines:\n{outs}"
 
     r0, r1 = results[0], results[1]
@@ -91,3 +97,4 @@ def test_two_process_train_and_predict(tmp_path):
     assert r0[1] == r1[1], "params diverged between hosts"
     assert r0[2] == r1[2] == 6, "predict() must return the full dev split"
     assert r0[3] == r1[3], "prediction utt coverage differs"
+    assert r0[4] == r1[4] == 6, "beam decode must cover the full split"
