@@ -194,36 +194,57 @@ def bench_reference_style(n_steps=2, B=32, T=640, U=48):
 
 def main():
     # The remote-TPU tunnel swings >2x between minutes; interleave the
-    # measurement rounds of the two jitted configurations so a slow
-    # window depresses both rather than one, and take best-of per config.
-    run_fused = make_train_runner()
+    # measurement rounds of all jitted configurations so a slow window
+    # depresses them together, and take best-of per config.  Two fused
+    # batch sizes are measured: B=32 (the es_en_20h recipe batch) and
+    # B=128 (throughput configuration — the kernels batch-chunk to fit
+    # VMEM); the headline is the best fused config, with its same-batch
+    # jitted-scan baseline as the honest ratio.
+    runners = {"fused_B32": (32, make_train_runner(B=32))}
     try:
-        run_scan = make_train_runner(compute_dtype=jnp.float32,
-                                     fused=False)
+        runners["fused_B128"] = (128, make_train_runner(B=128))
     except Exception:
-        run_scan = None
-    value, scan_f32 = 0.0, 0.0
+        pass
+    scans = {}
+    for B in sorted({b for b, _ in runners.values()}):
+        try:
+            scans[B] = make_train_runner(
+                B=B, compute_dtype=jnp.float32, fused=False)
+        except Exception:
+            pass
+    fused_best = {k: 0.0 for k in runners}
+    scan_best = {B: 0.0 for B in scans}
     for _ in range(4):
-        value = max(value, run_fused(30))
-        if run_scan is not None:
-            scan_f32 = max(scan_f32, run_scan(15))
+        for k, (B, run) in runners.items():
+            fused_best[k] = max(fused_best[k], run(max(8, 512 // B)))
+        for B, run in scans.items():
+            scan_best[B] = max(scan_best[B], run(max(4, 256 // B)))
     try:
         standin = bench_reference_style()
     except Exception:
         standin = None
-    vs_scan = (value / scan_f32) if scan_f32 else None
+
+    best_cfg = max(fused_best, key=fused_best.get)
+    value = fused_best[best_cfg]
+    best_B = runners[best_cfg][0]
+    scan_same_b = scan_best.get(best_B, 0.0)
+    vs_scan = (value / scan_same_b) if scan_same_b else None
     vs_standin = (value / standin) if standin else None
     print(json.dumps({
         "metric": "fisher_es_en_20h_train_utts_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "utts/sec/chip",
+        "config": f"fused Pallas + bf16, B={best_B}",
         # headline ratio = the defensible one: vs our own fully-jitted
-        # f32 lax.scan step on the same chip
+        # f32 lax.scan step at the same batch size on the same chip
         "vs_baseline": round(vs_scan, 2) if vs_scan else None,
         "vs_jitted_scan": round(vs_scan, 2) if vs_scan else None,
         "vs_dispatch_standin": round(vs_standin, 2) if vs_standin else None,
+        "fused_utts_per_sec": {
+            k: round(v, 2) for k, v in fused_best.items()},
         "baseline_utts_per_sec": {
-            "jitted_scan_f32": round(scan_f32, 2) if scan_f32 else None,
+            **{f"jitted_scan_f32_B{B}": round(v, 2)
+               for B, v in scan_best.items() if v},
             "dispatch_standin": round(standin, 2) if standin else None,
         },
     }))
