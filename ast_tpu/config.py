@@ -49,6 +49,11 @@ _EXTRAS_DEFAULTS = {
     "weight_noise_sigma": 0.0,
     # numerics: "float32" | "bfloat16" compute for matmul-heavy ops
     "compute_dtype": "float32",
+    # >1: fuse that many consecutive same-bucket train batches into ONE
+    # jitted dispatch (lax.scan over steps) — identical math to single
+    # steps, amortizes per-dispatch host overhead; the dataloader groups
+    # the shuffled order into same-bucket runs deterministically
+    "steps_per_dispatch": 1,
 }
 
 _DATA_DEFAULTS = {

@@ -39,6 +39,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _group_bucket_runs(batch_list, run_len):
+    """Permute a shuffled [(utts, bucket)] list into runs of up to
+    ``run_len`` consecutive same-bucket entries by pulling later
+    same-bucket entries forward (first-seen bucket order preserved).
+    Deterministic given the input order; every entry appears once."""
+    from collections import deque
+    pending = {}
+    order = []
+    for item in batch_list:
+        pending.setdefault(item[1], deque()).append(item)
+        order.append(item[1])
+    out = []
+    for b in order:
+        q = pending[b]
+        run = 0
+        while q and run < run_len:
+            out.append(q.popleft())
+            run += 1
+    return out
+
+
 class DataLoader:
     """Shared bucketing/batching/detokenization logic."""
 
@@ -140,7 +161,7 @@ class DataLoader:
 
     def get_batch(self, batch_size, set_key, train, labels=False,
                   pad_batch=True, curriculum=False, epoch=None,
-                  _skip_speech=False):
+                  group_runs=1, _skip_speech=False):
         """Generator of statically-shaped batch dicts.
 
         Yields {"X": (B,T,D) f32, "y": (B,U) i32 [labels], "utts": [ids],
@@ -155,6 +176,14 @@ class DataLoader:
         the batch order of any epoch is reproducible in a fresh process —
         this is what makes mid-epoch crash recovery (skip consumed batches)
         and multi-host striding exact.
+
+        ``group_runs`` (optional, >1): deterministically regroup the
+        shuffled batch order into runs of up to ``group_runs`` consecutive
+        same-bucket batches, so the trainer can fuse each run into ONE
+        device dispatch (``extras.steps_per_dispatch``) — same-bucket
+        batches share a static shape.  The regrouping is a permutation of
+        the shuffled order and is itself part of the deterministic epoch
+        stream, keeping prefix-based crash resume exact.
         """
         if epoch is not None:
             tag = f"{self.seed}|{set_key}|{epoch}"
@@ -180,6 +209,8 @@ class DataLoader:
                 batch_list.append((bucket[i:i + b_size], b))
         if not curriculum:
             py_rng.shuffle(batch_list)
+        if group_runs > 1:
+            batch_list = _group_bucket_runs(batch_list, group_runs)
 
         for utts, b in batch_list:
             # bucket b holds utts with < (b+1)*width_b frames (last bucket

@@ -47,18 +47,24 @@ def make_mesh(parallel_cfg=None, devices=None, batch_size=None):
     return Mesh(dev_array, ("data", "model"))
 
 
-def batch_spec(mesh, x):
-    """Shard the leading axis of arrays over 'data'; replicate scalars."""
-    if np.ndim(x) == 0:
+def batch_spec(mesh, x, axis=0):
+    """Shard array axis ``axis`` over 'data'; replicate scalars and
+    arrays too small to carry that axis (e.g. the per-step scalars of a
+    stacked multi-step batch)."""
+    nd = np.ndim(x)
+    if nd <= axis:
         return NamedSharding(mesh, P())
-    return NamedSharding(mesh, P("data", *([None] * (np.ndim(x) - 1))))
+    spec = [None] * nd
+    spec[axis] = "data"
+    return NamedSharding(mesh, P(*spec))
 
 
-def shard_batch(batch, mesh):
+def shard_batch(batch, mesh, axis=0):
     """device_put a host batch (pytree) with data-parallel sharding on
-    every array leaf's leading axis."""
+    every array leaf's ``axis`` (0 for a plain batch; 1 for a stacked
+    (G, B, ...) multi-step batch whose leading axis is the scan axis)."""
     return jax.tree.map(
-        lambda v: jax.device_put(v, batch_spec(mesh, v)), batch)
+        lambda v: jax.device_put(v, batch_spec(mesh, v, axis)), batch)
 
 
 def _param_pspec(path, leaf, model_parallel):

@@ -69,6 +69,20 @@ class Prefetcher:
             yield item
 
 
+def _group_stream(gen, G):
+    """Chunk a batch stream into runs of consecutive same-bucket batches,
+    at most G long (the dataloader's ``group_runs`` ordering makes full
+    runs the common case).  Yields lists of 1..G host batches."""
+    buf = []
+    for b in gen:
+        if buf and (b["bucket"] != buf[0]["bucket"] or len(buf) == G):
+            yield buf
+            buf = []
+        buf.append(b)
+    if buf:
+        yield buf
+
+
 class NN:
     """Build/load a model + optimizer for one experiment directory."""
 
@@ -157,6 +171,14 @@ class NN:
         self.dev_log = os.path.join(self.model_dir, "dev.log")
 
         self._train_step = self._make_train_step()
+        # >1: scan this many consecutive same-bucket batches inside one
+        # jitted dispatch — identical math to single steps (same per-batch
+        # RNG keys), amortizes per-dispatch host overhead
+        self.steps_per_dispatch = max(
+            1, int(tcfg["extras"].get("steps_per_dispatch", 1)))
+        self._train_multi_step = (
+            self._make_train_step(multi=True)
+            if self.steps_per_dispatch > 1 else None)
         self._predict_step = self._make_predict_step()
         self.timer = StepTimer()
 
@@ -178,7 +200,7 @@ class NN:
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
-    def _make_train_step(self):
+    def _make_train_step(self, multi=False):
         tcfg = self.cfg.train
         extras = tcfg["extras"]
         mcfg = self.mcfg
@@ -206,11 +228,32 @@ class NN:
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, new_state, opt_state, loss
 
+        if multi:
+            # one dispatch advances G stacked batches: lax.scan over the
+            # leading (step) axis with (params, state, opt_state) carried
+            # — bit-identical to G sequential ``step`` calls
+            def multi_step(params, state, opt_state, Xs, ys, n_reals,
+                           keys):
+                def body(carry, inp):
+                    p, s, o = carry
+                    X, y, n_real, key = inp
+                    p, s, o, loss = step(p, s, o, X, y, n_real, key)
+                    return (p, s, o), loss
+
+                (params, state, opt_state), losses = jax.lax.scan(
+                    body, (params, state, opt_state),
+                    (Xs, ys, n_reals, keys))
+                return params, state, opt_state, losses
+
+            fn = multi_step
+        else:
+            fn = step
+
         donate = (0, 1, 2)
         if self.mesh is not None:
             from ast_tpu.parallel.dp import shard_train_step
-            return shard_train_step(step, self.mesh, donate)
-        return jax.jit(step, donate_argnums=donate)
+            return shard_train_step(fn, self.mesh, donate)
+        return jax.jit(fn, donate_argnums=donate)
 
     def _make_predict_step(self):
         mcfg = self.mcfg
@@ -260,6 +303,34 @@ class NN:
         out["utts"] = batch["utts"]
         return out
 
+    def _device_group(self, batches):
+        """Stack G same-bucket host batches into one (G, B, ...) device
+        batch for the scanned multi-step dispatch.  Partial runs (< G,
+        stream tails) fall back to single-step dicts — the per-bucket
+        single program exists anyway, and this avoids compiling a
+        program per (bucket, run-length) pair."""
+        if len(batches) < self.steps_per_dispatch:
+            return ("singles", [self._device_batch(b, True)
+                                for b in batches])
+        if self.wav_mode:
+            xs = tuple(np.stack([b[k] for b in batches])
+                       for k in ("audio", "cmvn_mean", "cmvn_std"))
+        else:
+            xs = np.stack([b["X"] for b in batches])
+        out = {
+            "X": xs,
+            "y": np.stack([b["y"] for b in batches]),
+            "n_real": np.asarray([b["n_real"] for b in batches],
+                                 np.float32),
+        }
+        if self.mesh is not None:
+            # leading axis is the scan (step) axis; shard batch rows
+            out = shard_batch(out, self.mesh, axis=1)
+        else:
+            out = jax.device_put(out)
+        out["sizes"] = [max(1, len(b["utts"])) for b in batches]
+        return ("multi", out)
+
     def train_epoch(self, set_key, epoch=0):
         tcfg = self.cfg.train
         batch_size = tcfg["batch_size"]
@@ -290,13 +361,14 @@ class NN:
         # epoch-keyed dataloader RNGs guarantee it) and shard_batch places
         # each host's local rows of the global batch — one SPMD program,
         # so the step key must also be identical across hosts
+        G = self.steps_per_dispatch
         gen = self.data_loader.get_batch(
             batch_size, set_key, train=True, labels=True,
-            curriculum=tcfg.get("curriculum", False), epoch=epoch)
+            curriculum=tcfg.get("curriculum", False), epoch=epoch,
+            group_runs=G)
         if skip:
             import itertools
             gen = itertools.islice(gen, skip, None)
-        prefetch = Prefetcher(gen, lambda b: self._device_batch(b, True))
 
         # in-epoch crash-recovery snapshots (the reference only
         # checkpoints at epoch boundaries — SURVEY §5 failure detection)
@@ -304,15 +376,52 @@ class NN:
 
         import time as _time
         t_epoch = _time.perf_counter()
-        for i, batch in enumerate(prefetch):
-            key = jax.random.fold_in(epoch_key, skip + i)
-            self.params, self.state, self.opt_state, loss = self._train_step(
+        consumed = skip
+        last_snap = skip
+
+        def maybe_snapshot():
+            nonlocal last_snap
+            if ckpt_steps and consumed - last_snap >= ckpt_steps:
+                self.save_inflight(epoch, consumed)
+                last_snap = consumed
+
+        def run_single(batch):
+            key = jax.random.fold_in(epoch_key, consumed)
+            p, s, o, loss = self._train_step(
                 self.params, self.state, self.opt_state,
                 batch["X"], batch["y"], batch["n_real"], key)
+            self.params, self.state, self.opt_state = p, s, o
             losses.append(loss)
             sizes.append(max(1, len(batch["utts"])))
-            if ckpt_steps and (i + 1) % ckpt_steps == 0:
-                self.save_inflight(epoch, skip + i + 1)
+
+        if G > 1:
+            prefetch = Prefetcher(_group_stream(gen, G),
+                                  self._device_group)
+            for kind, payload in prefetch:
+                if kind == "multi":
+                    keys = jnp.stack([
+                        jax.random.fold_in(epoch_key, consumed + j)
+                        for j in range(G)])
+                    p, s, o, loss_vec = self._train_multi_step(
+                        self.params, self.state, self.opt_state,
+                        payload["X"], payload["y"], payload["n_real"],
+                        keys)
+                    self.params, self.state, self.opt_state = p, s, o
+                    losses.append(loss_vec)
+                    sizes.extend(payload["sizes"])
+                    consumed += G
+                else:
+                    for batch in payload:
+                        run_single(batch)
+                        consumed += 1
+                maybe_snapshot()
+        else:
+            prefetch = Prefetcher(gen,
+                                  lambda b: self._device_batch(b, True))
+            for batch in prefetch:
+                run_single(batch)
+                consumed += 1
+                maybe_snapshot()
 
         if ckpt_steps:
             # mark the epoch complete: "epoch+1 has consumed 0 batches"
@@ -324,10 +433,11 @@ class NN:
         # current reference path (nn.py:189 divides by batch size).
         # device_get is the real sync point — throughput is attributed
         # over the whole epoch including the queue drain.
-        vals = [float(v) for v in jax.device_get(losses)]
+        vals = np.concatenate(
+            [np.ravel(v) for v in jax.device_get(losses)])
         self.timer.add(_time.perf_counter() - t_epoch, sum(sizes),
-                       len(losses))
-        return sum(v / s for v, s in zip(vals, sizes)) / len(vals)
+                       len(vals))
+        return float(sum(v / s for v, s in zip(vals, sizes)) / len(vals))
 
     def save_inflight(self, epoch, step):
         """Atomic mid-epoch snapshot for crash recovery (process 0 only:

@@ -53,14 +53,19 @@ def _batch(B, T, U, V=1098, seed=0):
 
 
 def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
-                      fused=True):
+                      fused=True, steps_per_dispatch=1):
     """Compile + warm a full train step (fwd+bwd+adam); return a
     ``run(n_steps) -> utts/sec`` closure.
 
     Shapes mirror the es_en_20h recipe (batch 32, bucket 8 of 20 at 80
     frames/bucket); bf16 matmul compute with f32 accumulation is the
     recommended TPU configuration (2.6x over f32 on v5e).  ``fused=False``
-    compiles the lax.scan path (the jitted-scan baseline)."""
+    compiles the lax.scan path (the jitted-scan baseline).
+
+    ``steps_per_dispatch=G>1`` scans G stacked batches inside one jitted
+    call — the trainer's ``extras.steps_per_dispatch`` configuration
+    (bit-equivalent to G sequential steps, tests/test_multi_dispatch.py),
+    which amortizes the per-dispatch host overhead."""
     from ast_tpu.models import seq2seq
     from ast_tpu.train.optimizer import build_optimizer
 
@@ -70,8 +75,8 @@ def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
     opt, opt_state = build_optimizer(opt_cfg, params)
     X, y = _batch(B, T, U)
     key = jax.random.PRNGKey(0)
+    G = steps_per_dispatch
 
-    @jax.jit
     def step(params, state, opt_state, X, y, rng):
         def loss_fn(p):
             return seq2seq.forward_loss(
@@ -85,28 +90,55 @@ def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, new_state, opt_state, loss
 
+    if G > 1:
+        Xs = jnp.broadcast_to(X, (G,) + X.shape)
+        ys = jnp.broadcast_to(y, (G,) + y.shape)
+
+        def multi(params, state, opt_state, rng):
+            keys = jax.random.split(rng, G)
+
+            def body(carry, inp):
+                p, s, o = carry
+                Xi, yi, ki = inp
+                p, s, o, loss = step(p, s, o, Xi, yi, ki)
+                return (p, s, o), loss
+
+            (params, state, opt_state), losses = jax.lax.scan(
+                body, (params, state, opt_state), (Xs, ys, keys))
+            return params, state, opt_state, losses[-1]
+
+        dispatch = jax.jit(multi)
+
+        def call(p, s, o, i):
+            return dispatch(p, s, o, jax.random.fold_in(key, i))
+    else:
+        jstep = jax.jit(step)
+
+        def call(p, s, o, i):
+            return jstep(p, s, o, X, y, jax.random.fold_in(key, i))
+
     # compile + warm-up.  NOTE: on this TPU runtime block_until_ready()
     # does not reliably wait for remote compute — every timed region must
     # end with a value transfer (device_get) to be a true sync point.
     carry = {"v": (params, state, opt_state)}
     p, s, o = carry["v"]
-    p, s, o, loss = step(p, s, o, X, y, key)
+    p, s, o, loss = call(p, s, o, 0)
     float(jax.device_get(loss))
-    for i in range(10):
-        p, s, o, loss = step(p, s, o, X, y,
-                             jax.random.fold_in(key, 1000 + i))
+    for i in range(max(1, 10 // G)):
+        p, s, o, loss = call(p, s, o, 1000 + i)
     float(jax.device_get(loss))
     carry["v"] = (p, s, o)
 
     def run(n_steps):
+        n_calls = max(1, n_steps // G)
         p, s, o = carry["v"]
         t0 = time.perf_counter()
-        for i in range(n_steps):
-            p, s, o, loss = step(p, s, o, X, y, jax.random.fold_in(key, i))
+        for i in range(n_calls):
+            p, s, o, loss = call(p, s, o, i)
         float(jax.device_get(loss))
         dt = time.perf_counter() - t0
         carry["v"] = (p, s, o)
-        return (n_steps * B) / dt
+        return (n_calls * G * B) / dt
 
     return run
 
@@ -200,25 +232,31 @@ def main():
     # B=128 (throughput configuration — the kernels batch-chunk to fit
     # VMEM); the headline is the best fused config, with its same-batch
     # jitted-scan baseline as the honest ratio.
-    runners = {"fused_B32": (32, make_train_runner(B=32))}
-    try:
-        runners["fused_B128"] = (128, make_train_runner(B=128))
-    except Exception:
-        pass
-    scans = {}
-    for B in sorted({b for b, _ in runners.values()}):
+    specs = {"B32": (32, 1), "B128": (128, 1),
+             "B32_G8": (32, 8), "B128_G4": (128, 4)}
+    runners, scans = {}, {}
+    for name, (B, G) in specs.items():
         try:
-            scans[B] = make_train_runner(
-                B=B, compute_dtype=jnp.float32, fused=False)
+            runners[name] = make_train_runner(B=B, steps_per_dispatch=G)
+        except Exception:
+            continue
+        try:
+            # the scan baseline gets the SAME dispatch amortization so
+            # the ratio isolates kernels+bf16, not host overhead
+            scans[name] = make_train_runner(
+                B=B, compute_dtype=jnp.float32, fused=False,
+                steps_per_dispatch=G)
         except Exception:
             pass
     fused_best = {k: 0.0 for k in runners}
-    scan_best = {B: 0.0 for B in scans}
+    scan_best = {k: 0.0 for k in scans}
     for _ in range(4):
-        for k, (B, run) in runners.items():
-            fused_best[k] = max(fused_best[k], run(max(8, 512 // B)))
-        for B, run in scans.items():
-            scan_best[B] = max(scan_best[B], run(max(4, 256 // B)))
+        for k, run in runners.items():
+            B = specs[k][0]
+            fused_best[k] = max(fused_best[k], run(max(8, 1024 // B)))
+        for k, run in scans.items():
+            B = specs[k][0]
+            scan_best[k] = max(scan_best[k], run(max(4, 256 // B)))
     try:
         standin = bench_reference_style()
     except Exception:
@@ -226,25 +264,27 @@ def main():
 
     best_cfg = max(fused_best, key=fused_best.get)
     value = fused_best[best_cfg]
-    best_B = runners[best_cfg][0]
-    scan_same_b = scan_best.get(best_B, 0.0)
-    vs_scan = (value / scan_same_b) if scan_same_b else None
+    B, G = specs[best_cfg]
+    scan_same = scan_best.get(best_cfg, 0.0)
+    vs_scan = (value / scan_same) if scan_same else None
     vs_standin = (value / standin) if standin else None
     print(json.dumps({
         "metric": "fisher_es_en_20h_train_utts_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "utts/sec/chip",
-        "config": f"fused Pallas + bf16, B={best_B}",
+        "config": f"fused Pallas + bf16, B={B}"
+                  + (f", {G} steps/dispatch" if G > 1 else ""),
         # headline ratio = the defensible one: vs our own fully-jitted
-        # f32 lax.scan step at the same batch size on the same chip
+        # f32 lax.scan step at the same batch size AND same dispatch
+        # grouping on the same chip
         "vs_baseline": round(vs_scan, 2) if vs_scan else None,
         "vs_jitted_scan": round(vs_scan, 2) if vs_scan else None,
         "vs_dispatch_standin": round(vs_standin, 2) if vs_standin else None,
         "fused_utts_per_sec": {
             k: round(v, 2) for k, v in fused_best.items()},
         "baseline_utts_per_sec": {
-            **{f"jitted_scan_f32_B{B}": round(v, 2)
-               for B, v in scan_best.items() if v},
+            **{f"jitted_scan_f32_{k}": round(v, 2)
+               for k, v in scan_best.items() if v},
             "dispatch_standin": round(standin, 2) if standin else None,
         },
     }))
