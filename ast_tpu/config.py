@@ -54,6 +54,10 @@ _EXTRAS_DEFAULTS = {
     # steps, amortizes per-dispatch host overhead; the dataloader groups
     # the shuffled order into same-bucket runs deterministically
     "steps_per_dispatch": 1,
+    # rematerialize the forward pass in the backward (jax.checkpoint):
+    # ~1 extra forward of FLOPs buys not holding activations in HBM —
+    # for long-utterance / very large-batch configs
+    "remat": False,
 }
 
 _DATA_DEFAULTS = {

@@ -173,11 +173,12 @@ class WavDataLoader(FisherDataLoader):
         return x
 
     def get_batch(self, batch_size, set_key, train, labels=False,
-                  pad_batch=True, curriculum=False, epoch=None):
+                  pad_batch=True, curriculum=False, epoch=None,
+                  group_runs=1):
         D = self.mfcc_cfg.n_ceps
         for batch in super().get_batch(batch_size, set_key, train, labels,
                                        pad_batch, curriculum, epoch,
-                                       _skip_speech=True):
+                                       group_runs, _skip_speech=True):
             b = batch["bucket"]
             num_b = self.buckets[set_key]["num_b"]
             width_b = self.buckets[set_key]["width_b"]

@@ -209,6 +209,13 @@ class NN:
 
         featurize = self._featurize if self.wav_mode else None
 
+        # extras.remat: rematerialize the forward pass in the backward
+        # (jax.checkpoint) — trades ~1 extra forward of FLOPs for not
+        # holding encoder/decoder activations across the whole loss,
+        # the standard HBM lever for long-utterance or very large-batch
+        # configs (identical gradients; tests/test_trainer_e2e.py)
+        remat = bool(extras.get("remat", False))
+
         def step(params, state, opt_state, X, y, n_real, key):
             if featurize is not None:
                 X = featurize(X)
@@ -222,6 +229,8 @@ class NN:
                     compute_dtype=compute_dtype,
                 )
 
+            if remat:
+                loss_fn = jax.checkpoint(loss_fn)
             (loss, new_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = opt.update(grads, opt_state, params)

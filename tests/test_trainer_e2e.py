@@ -69,6 +69,44 @@ def test_beam_cli(trained_exp):
     assert abs(bleu - bleu2) < 1e-9
 
 
+def test_remat_gradients_match(tmp_path):
+    """extras.remat (jax.checkpoint around the loss) must produce the
+    same parameter update as the plain step — recompute-for-memory only,
+    never different math."""
+    import jax
+    import jax.numpy as jnp
+
+    exp = make_tiny_experiment(str(tmp_path), n_train=8, n_dev=4,
+                               batch_size=4)
+    nn_plain = NN(exp)
+    exp_r = make_tiny_experiment(str(tmp_path) + "_r", n_train=8,
+                                 n_dev=4, batch_size=4,
+                                 extras={"remat": True})
+    nn_remat = NN(exp_r)
+    # identical init (same seed string)
+    batch = next(nn_plain.data_loader.get_batch(
+        4, "tiny_train", train=True, labels=True, epoch=0))
+    db = nn_plain._device_batch(batch, True)
+    key = jax.random.PRNGKey(3)
+
+    def copy(t):
+        return jax.tree.map(jnp.array, t)
+
+    p1, _, _, l1 = nn_plain._train_step(
+        copy(nn_plain.params), copy(nn_plain.state),
+        copy(nn_plain.opt_state), db["X"], db["y"], db["n_real"], key)
+    p2, _, _, l2 = nn_remat._train_step(
+        copy(nn_remat.params), copy(nn_remat.state),
+        copy(nn_remat.opt_state), db["X"], db["y"], db["n_real"], key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p1),
+            jax.tree_util.tree_leaves_with_path(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=f"remat param mismatch at {pa}")
+
+
 def test_copy_params_cli(trained_exp, tmp_path):
     target = make_tiny_experiment(str(tmp_path), seed=1)
     import ast_tpu.cli.copy_params as cp
