@@ -9,11 +9,26 @@ per epoch — train, greedy-decode dev, BLEU, append ``train.log``
 
 import argparse
 import os
+import signal
 
 import jax
 
 from ast_tpu.eval.bleu import Eval
-from ast_tpu.train.trainer import NN
+from ast_tpu.train.trainer import NN, PreemptedError
+
+
+def _install_preempt_handler(nn):
+    """SIGTERM (cluster preemption) => snapshot at the next batch
+    boundary and exit cleanly; the next run resumes mid-epoch."""
+    def handler(signum, frame):
+        print("SIGTERM received: snapshotting at next batch boundary",
+              flush=True)
+        nn.request_preempt()
+
+    try:
+        signal.signal(signal.SIGTERM, handler)
+    except ValueError:
+        pass  # not the main thread (e.g. under a test runner)
 
 
 def main(argv=None):
@@ -31,6 +46,7 @@ def main(argv=None):
     print(f"number of epochs={epochs:d}")
 
     nn = NN(cfg_path)
+    _install_preempt_handler(nn)
     train_key = nn.cfg.train["train_set"]
     dev_key = nn.cfg.train["dev_set"]
     iters_save = nn.cfg.train["iters_save"]
@@ -45,12 +61,17 @@ def main(argv=None):
         print(f"Experiment: {cfg_path:s} epoch: {epoch:d}")
         print("-" * 80)
 
-        if args.profile and epoch == start_epoch:
-            from ast_tpu.utils.profiling import profile_trace
-            with profile_trace(args.profile):
+        try:
+            if args.profile and epoch == start_epoch:
+                from ast_tpu.utils.profiling import profile_trace
+                with profile_trace(args.profile):
+                    epoch_loss = nn.train_epoch(train_key, epoch=epoch)
+            else:
                 epoch_loss = nn.train_epoch(train_key, epoch=epoch)
-        else:
-            epoch_loss = nn.train_epoch(train_key, epoch=epoch)
+        except PreemptedError as e:
+            print(str(e))
+            print("exiting cleanly; rerun to resume mid-epoch")
+            return
         # log/checkpoint writes belong to process 0 (multi-host runs may
         # share the experiment dir); predict() all-gathers so BLEU is
         # computed over the full dev split on every host

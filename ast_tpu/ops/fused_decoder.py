@@ -37,11 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ast_tpu.ops.fused_lstm import _apply_gates, _drop_mask
 
-# Calibrated against observed Mosaic compiles: the flagship decoder
-# (bf16 weights ~16 MB + enc 5.2 MB + streams; 22.6 MB by this naive sum)
-# compiles and runs on v5e — Mosaic schedules large full-VMEM operands
-# tighter than the sum suggests.  Budget set just above that observation.
-VMEM_BUDGET = 24 * 1024 * 1024
+# Calibrated against observed Mosaic compiles with the raised scoped-vmem
+# cap below: chunk 64 at flagship shapes (naive sum ~31 MB) compiles and
+# is the measured optimum for B=128 programs (7,730 utts/sec/chip vs
+# 6,771 at chunk 16 in the same window); chunk 128 (~46 MB) compiles but
+# runs slower.  Budget set between those points so the chunk search
+# lands on 64.
+VMEM_BUDGET = 40 * 1024 * 1024
+
+# Mosaic's default scoped-vmem ceiling (16 MB) rejects kernels the chip
+# schedules fine (v5e VMEM is far larger): B=128-program decoder chunks
+# of 32 used to fail at "17.6M/16M scoped vmem".  Raise the cap and let
+# the real VMEM allocator be the judge.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def round_up(x, m):
@@ -67,15 +75,10 @@ def fused_decoder_chunk(L, B, H, E, A, T, Vp, weight_bytes=2):
     """Largest batch chunk (divisor of B, multiple of 8) that fits; 0 if
     none.  The decoder recurrence has no cross-batch coupling, so large
     batches run as independent chunk calls instead of falling back to the
-    scan path.
-
-    When actually chunking (c < B) the chunk is halved once more for
-    scoped-VMEM headroom: with several kernel instances in one XLA
-    program the backward kernel's stack allocation lands ~10% above the
-    single-kernel case, and a borderline chunk (B=128 -> 32 at flagship
-    shapes) fails compile with a scoped-vmem stack OOM.  Measured on
-    v5e: B=128 with decoder chunks of 16 reaches 7.0k utts/sec/chip vs
-    4.7k for scan fallback."""
+    scan path.  (An earlier extra halving worked around Mosaic's default
+    16 MB scoped-vmem ceiling; the raised ``vmem_limit_bytes`` compiler
+    param made it unnecessary — flagship B=128 now runs decoder chunks
+    of 64.)"""
     c = B
     while c >= 8:
         if c % 8 == 0 and B % c == 0 and fused_decoder_fits(
@@ -84,8 +87,6 @@ def fused_decoder_chunk(L, B, H, E, A, T, Vp, weight_bytes=2):
         c //= 2
     if c < 8:
         return 0
-    if c < B and (c // 2) % 8 == 0 and B % (c // 2) == 0:
-        c //= 2
     return c
 
 
@@ -285,6 +286,7 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
             pltpu.VMEM((B, Vp), jnp.float32),            # argmax one-hot
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(seed_arr, coins, y_oh,
       enc_states.reshape(-1, enc_states.shape[-1]),
       w["wx0"], w["wx_rest"], w["wh"], w["b"],
@@ -471,6 +473,7 @@ def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
             pltpu.VMEM((B, A), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(seed_arr, res["acts"], res["c_all"], c_prev,
       res["alphas"], res["ht"], d_ht_ext,
       enc_states.reshape(-1, enc_states.shape[-1]),

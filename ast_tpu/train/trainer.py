@@ -69,6 +69,12 @@ class Prefetcher:
             yield item
 
 
+class PreemptedError(RuntimeError):
+    """Raised by ``train_epoch`` after writing an inflight snapshot when
+    preemption was requested (e.g. SIGTERM from the cluster scheduler).
+    The next run resumes the same epoch at the same batch position."""
+
+
 def _group_stream(gen, G):
     """Chunk a batch stream into runs of consecutive same-bucket batches,
     at most G long (the dataloader's ``group_runs`` ordering makes full
@@ -169,6 +175,12 @@ class NN:
 
         self.train_log = os.path.join(self.model_dir, "train.log")
         self.dev_log = os.path.join(self.model_dir, "dev.log")
+
+        # graceful preemption: request_preempt() (wired to SIGTERM by the
+        # train CLI) makes train_epoch snapshot at the next batch
+        # boundary and raise PreemptedError — TPU-pool preemptions resume
+        # mid-epoch instead of losing the epoch
+        self._preempt = False
 
         self._train_step = self._make_train_step()
         # >1: scan this many consecutive same-bucket batches inside one
@@ -393,6 +405,11 @@ class NN:
             if ckpt_steps and consumed - last_snap >= ckpt_steps:
                 self.save_inflight(epoch, consumed)
                 last_snap = consumed
+            if self._preempt:
+                self.save_inflight(epoch, consumed)
+                raise PreemptedError(
+                    f"preempted: epoch {epoch} snapshotted after "
+                    f"{consumed} batches")
 
         def run_single(batch):
             key = jax.random.fold_in(epoch_key, consumed)
@@ -447,6 +464,11 @@ class NN:
         self.timer.add(_time.perf_counter() - t_epoch, sum(sizes),
                        len(vals))
         return float(sum(v / s for v, s in zip(vals, sizes)) / len(vals))
+
+    def request_preempt(self):
+        """Ask the running epoch to snapshot and stop at the next batch
+        boundary (signal-handler safe: only sets a flag)."""
+        self._preempt = True
 
     def save_inflight(self, epoch, step):
         """Atomic mid-epoch snapshot for crash recovery (process 0 only:

@@ -23,7 +23,8 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def build_corpus(root, n_train=600, n_dev=60, vocab_words=30, seed=0):
+def build_corpus(root, n_train=600, n_dev=60, vocab_words=30, seed=0,
+                 extras=None):
     rng = np.random.RandomState(seed)
     exp = os.path.join(root, "exp")
     data = os.path.join(root, "data")
@@ -96,9 +97,9 @@ def build_corpus(root, n_train=600, n_dev=60, vocab_words=30, seed=0):
         "iters_save": 50,
         "train_set": "syn_train",
         "dev_set": "syn_dev",
-        "extras": {"random_out": 0, "speech_noise": 0.05,
-                   "teach_ratio": 0.9,
-                   "compute_dtype": "bfloat16"},
+        "extras": dict({"random_out": 0, "speech_noise": 0.05,
+                        "teach_ratio": 0.9,
+                        "compute_dtype": "bfloat16"}, **(extras or {})),
         "data": {
             "enc_key": "sp", "dec_key": "en_w",
             "speech_path": speech,
@@ -127,10 +128,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=8)
     parser.add_argument("--root", default=None)
+    parser.add_argument("--steps-per-dispatch", type=int, default=1)
     args = parser.parse_args()
 
     root = args.root or tempfile.mkdtemp(prefix="syn_ast_")
-    exp = build_corpus(root)
+    exp = build_corpus(
+        root, extras={"steps_per_dispatch": args.steps_per_dispatch})
     print(f"synthetic corpus at {root}", flush=True)
 
     import ast_tpu.cli.train as train_cli

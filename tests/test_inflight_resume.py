@@ -98,6 +98,39 @@ def test_kill_and_resume_consumes_exact_suffix(tmp_path):
                                   np.asarray(nn2.params["dec"]["out_w"]))
 
 
+def test_preempt_snapshots_and_resumes(tmp_path):
+    """request_preempt (the CLI wires SIGTERM to it) stops at the next
+    batch boundary with an inflight snapshot — even WITHOUT
+    checkpoint_steps — and a fresh process resumes that exact position."""
+    import os as _os
+    import signal
+
+    from ast_tpu.cli.train import _install_preempt_handler
+    from ast_tpu.train.trainer import NN, PreemptedError
+
+    exp = make_tiny_experiment(str(tmp_path), n_train=12, n_dev=4,
+                               batch_size=4)
+    nn1 = NN(exp)
+    # the real signal path: handler installed by the CLI helper flips
+    # the flag when SIGTERM is delivered
+    _install_preempt_handler(nn1)
+    _os.kill(_os.getpid(), signal.SIGTERM)
+    with pytest.raises(PreemptedError):
+        nn1.train_epoch("tiny_train", epoch=1)
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+
+    nn2 = NN(exp)
+    assert nn2.max_epoch == 0
+    assert nn2.inflight_resume == (1, 1)   # one batch trained, then stop
+    np.testing.assert_array_equal(np.asarray(nn2.params["dec"]["out_w"]),
+                                  np.asarray(nn1.params["dec"]["out_w"]))
+    loss = nn2.train_epoch("tiny_train", epoch=1)
+    assert np.isfinite(loss)
+    n_stream = sum(1 for _ in nn2.data_loader.get_batch(
+        4, "tiny_train", train=True, labels=True, epoch=1))
+    assert nn2.timer.n_steps == n_stream - 1   # stream minus skip=1
+
+
 def test_stale_inflight_is_ignored(tmp_path):
     from ast_tpu.train.trainer import NN
 
