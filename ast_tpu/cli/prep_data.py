@@ -9,6 +9,7 @@ regenerable end to end:
   ark-to-conv    text ark -> per-conversation .np pickles (C++ fast path)
   merge-segments conversation pickles + segment lists -> per-utt .npy
   mfcc           raw audio dir -> per-utt MFCC .npy (on-device extractor)
+  pack-features  per-utt .npy dir -> one mmap-able .pack file
   cmvn           feature dir + utt2spk -> cmvn.stats pickle
   learn-bpe      tokenized text -> BPE codes
   build-dicts    corpus dir -> map/vocab/info/data pickles + refs
@@ -138,6 +139,18 @@ def cmd_bnf(args):
     print(f"wrote BNF for {n} files into {args.out_dir}")
 
 
+def cmd_pack_features(args):
+    """Pack a split's per-utterance .npy features into one mmap-able
+    file the dataloader serves without per-utterance opens
+    (ast_tpu/data/feature_pack.py)."""
+    from ast_tpu.data.feature_pack import pack_features
+    dtype = np.float16 if args.f16 else None
+    n = pack_features(args.src_dir, args.out, dtype=dtype)
+    size = os.path.getsize(args.out)
+    print(f"packed {n} utterances into {args.out} "
+          f"({size / 1e6:.1f} MB{', f16' if args.f16 else ''})")
+
+
 def cmd_cmvn(args):
     """Per-speaker CMVN statistics (reference: compute_cmvn_stats.sh +
     apply-cmvn --norm-vars=true, SURVEY §2.4)."""
@@ -221,6 +234,16 @@ def main(argv=None):
                    help="final.mat as plain text (for --feat-type lda)")
     p.add_argument("--splice", type=int, default=4)
     p.set_defaults(fn=cmd_bnf)
+
+    p = sub.add_parser("pack-features")
+    p.add_argument("src_dir",
+                   help="per-utterance .npy dir (subdirs included)")
+    p.add_argument("out", help="output .pack path, e.g. "
+                               "<speech_path>/<set_key>.pack")
+    p.add_argument("--f16", action="store_true",
+                   help="store float16 (half the file; loader casts "
+                        "back to float32)")
+    p.set_defaults(fn=cmd_pack_features)
 
     p = sub.add_parser("cmvn")
     p.add_argument("--feat_dir", required=True)

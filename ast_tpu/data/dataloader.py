@@ -303,14 +303,34 @@ class DataLoader:
 
 class FisherDataLoader(DataLoader):
     """Fisher corpus: per-utterance ``.npy`` MFCC features on disk, with an
-    optional in-RAM cache so epochs after the first do zero disk I/O."""
+    optional in-RAM cache so epochs after the first do zero disk I/O.
+
+    If ``<speech_path>/<set_key>.pack`` exists (built by ``prep_data
+    pack-features``, see :mod:`ast_tpu.data.feature_pack`), the split is
+    served from that single memory-mapped file instead — no
+    per-utterance opens and no Python-side cache growth."""
 
     def __init__(self, data_cfg, model_dir, seed="seed", cache_features=True):
         super().__init__(data_cfg, model_dir, seed)
         self.cache_features = cache_features
         self._cache = {}
+        self._packs = {}
+
+    def _pack_for(self, set_key):
+        if set_key not in self._packs:
+            path = os.path.join(self.data_cfg["speech_path"],
+                                f"{set_key}.pack")
+            if os.path.exists(path):
+                from ast_tpu.data.feature_pack import FeaturePack
+                self._packs[set_key] = FeaturePack(path)
+            else:
+                self._packs[set_key] = None
+        return self._packs[set_key]
 
     def _load_speech(self, utt, set_key, max_sp):
+        pack = self._pack_for(set_key)
+        if pack is not None and utt in pack:
+            return pack.get(utt, max_rows=max_sp)
         key = (set_key, utt)
         if self.cache_features and key in self._cache:
             return self._cache[key]
