@@ -19,7 +19,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def shard_train_step(step, mesh, donate_argnums=()):
-    """jit ``step(params, state, opt_state, X, y, n_real, key)`` over mesh.
+    """jit a train step ``(params, state, opt_state, *batch_args) ->
+    (params, state, opt_state, loss)`` over the mesh.
 
     Inputs arrive already placed (params replicated / vocab-sharded by
     :func:`ast_tpu.parallel.mesh.replicate`, batches data-sharded by
@@ -27,9 +28,9 @@ def shard_train_step(step, mesh, donate_argnums=()):
     partitioner inserts the gradient all-reduce, and the loss output is
     constrained replicated so every process can read it.
     """
-    def wrapped(params, state, opt_state, X, y, n_real, key):
+    def wrapped(params, state, opt_state, *batch_args):
         params, state, opt_state, loss = step(
-            params, state, opt_state, X, y, n_real, key)
+            params, state, opt_state, *batch_args)
         loss = jax.lax.with_sharding_constraint(
             loss, NamedSharding(mesh, P()))
         return params, state, opt_state, loss

@@ -249,26 +249,40 @@ class NN:
             params = jax.tree.map(lambda p, u: p + u, params, updates)
             return params, new_state, opt_state, loss
 
+        # per-batch RNG keys are derived IN-GRAPH from (epoch_key, batch
+        # index) — folding on the host would cost one extra device
+        # dispatch per batch (G+1 per group), which on dispatch-bound
+        # runtimes eats the multi-step win.  Same fold_in math, so the
+        # key stream is bit-identical to host-side derivation.
         if multi:
             # one dispatch advances G stacked batches: lax.scan over the
             # leading (step) axis with (params, state, opt_state) carried
             # — bit-identical to G sequential ``step`` calls
             def multi_step(params, state, opt_state, Xs, ys, n_reals,
-                           keys):
+                           epoch_key, start):
+                G = Xs[0].shape[0] if isinstance(Xs, tuple) \
+                    else Xs.shape[0]
+
                 def body(carry, inp):
                     p, s, o = carry
-                    X, y, n_real, key = inp
+                    X, y, n_real, j = inp
+                    key = jax.random.fold_in(epoch_key, start + j)
                     p, s, o, loss = step(p, s, o, X, y, n_real, key)
                     return (p, s, o), loss
 
                 (params, state, opt_state), losses = jax.lax.scan(
                     body, (params, state, opt_state),
-                    (Xs, ys, n_reals, keys))
+                    (Xs, ys, n_reals, jnp.arange(G)))
                 return params, state, opt_state, losses
 
             fn = multi_step
         else:
-            fn = step
+            def single_step(params, state, opt_state, X, y, n_real,
+                            epoch_key, idx):
+                key = jax.random.fold_in(epoch_key, idx)
+                return step(params, state, opt_state, X, y, n_real, key)
+
+            fn = single_step
 
         donate = (0, 1, 2)
         if self.mesh is not None:
@@ -412,10 +426,10 @@ class NN:
                     f"{consumed} batches")
 
         def run_single(batch):
-            key = jax.random.fold_in(epoch_key, consumed)
             p, s, o, loss = self._train_step(
                 self.params, self.state, self.opt_state,
-                batch["X"], batch["y"], batch["n_real"], key)
+                batch["X"], batch["y"], batch["n_real"],
+                epoch_key, consumed)
             self.params, self.state, self.opt_state = p, s, o
             losses.append(loss)
             sizes.append(max(1, len(batch["utts"])))
@@ -425,13 +439,10 @@ class NN:
                                   self._device_group)
             for kind, payload in prefetch:
                 if kind == "multi":
-                    keys = jnp.stack([
-                        jax.random.fold_in(epoch_key, consumed + j)
-                        for j in range(G)])
                     p, s, o, loss_vec = self._train_multi_step(
                         self.params, self.state, self.opt_state,
                         payload["X"], payload["y"], payload["n_real"],
-                        keys)
+                        epoch_key, consumed)
                     self.params, self.state, self.opt_state = p, s, o
                     losses.append(loss_vec)
                     sizes.extend(payload["sizes"])

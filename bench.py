@@ -90,12 +90,15 @@ def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, new_state, opt_state, loss
 
+    # RNG keys are derived in-graph from the call index (host-side
+    # fold_in would add one device dispatch per call — the overhead the
+    # multi-step path exists to amortize; the trainer does the same)
     if G > 1:
         Xs = jnp.broadcast_to(X, (G,) + X.shape)
         ys = jnp.broadcast_to(y, (G,) + y.shape)
 
-        def multi(params, state, opt_state, rng):
-            keys = jax.random.split(rng, G)
+        def multi(params, state, opt_state, i):
+            keys = jax.random.split(jax.random.fold_in(key, i), G)
 
             def body(carry, inp):
                 p, s, o = carry
@@ -107,15 +110,13 @@ def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
                 body, (params, state, opt_state), (Xs, ys, keys))
             return params, state, opt_state, losses[-1]
 
-        dispatch = jax.jit(multi)
-
-        def call(p, s, o, i):
-            return dispatch(p, s, o, jax.random.fold_in(key, i))
+        call = jax.jit(multi)
     else:
-        jstep = jax.jit(step)
+        def single(params, state, opt_state, i):
+            return step(params, state, opt_state, X, y,
+                        jax.random.fold_in(key, i))
 
-        def call(p, s, o, i):
-            return jstep(p, s, o, X, y, jax.random.fold_in(key, i))
+        call = jax.jit(single)
 
     # compile + warm-up.  NOTE: on this TPU runtime block_until_ready()
     # does not reliably wait for remote compute — every timed region must

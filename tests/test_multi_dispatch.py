@@ -66,21 +66,20 @@ def test_multi_step_matches_sequential_singles(tmp_path):
     kind, payload = nn._device_group(group)
     assert kind == "multi"
     epoch_key = jax.random.PRNGKey(7)
-    keys = jnp.stack([jax.random.fold_in(epoch_key, j) for j in range(G)])
 
     def copy(t):
         return jax.tree.map(jnp.array, t)
 
     p_m, s_m, o_m, losses_m = nn._train_multi_step(
         copy(nn.params), copy(nn.state), copy(nn.opt_state),
-        payload["X"], payload["y"], payload["n_real"], keys)
+        payload["X"], payload["y"], payload["n_real"], epoch_key, 5)
 
     p, s, o = copy(nn.params), copy(nn.state), copy(nn.opt_state)
     losses_s = []
     for j, b in enumerate(group):
         db = nn._device_batch(b, True)
         p, s, o, loss = nn._train_step(
-            p, s, o, db["X"], db["y"], db["n_real"], keys[j])
+            p, s, o, db["X"], db["y"], db["n_real"], epoch_key, 5 + j)
         losses_s.append(float(loss))
 
     np.testing.assert_allclose(np.asarray(losses_m),

@@ -94,10 +94,12 @@ def test_remat_gradients_match(tmp_path):
 
     p1, _, _, l1 = nn_plain._train_step(
         copy(nn_plain.params), copy(nn_plain.state),
-        copy(nn_plain.opt_state), db["X"], db["y"], db["n_real"], key)
+        copy(nn_plain.opt_state), db["X"], db["y"], db["n_real"],
+        key, 0)
     p2, _, _, l2 = nn_remat._train_step(
         copy(nn_remat.params), copy(nn_remat.state),
-        copy(nn_remat.opt_state), db["X"], db["y"], db["n_real"], key)
+        copy(nn_remat.opt_state), db["X"], db["y"], db["n_real"],
+        key, 0)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for (pa, a), (_, b) in zip(
             jax.tree_util.tree_leaves_with_path(p1),
