@@ -499,18 +499,25 @@ class NN:
         """Teacher-forced loss on a split without updating anything —
         the legacy harness's dev-loss pass (reference: nmt_run.py:909,
         feed_model with train=False)."""
-        mcfg = self.mcfg
-        compute_dtype = self.compute_dtype
-        featurize = self._featurize if self.wav_mode else None
+        # jit once and cache on self: a fresh closure per call would
+        # recompile every epoch's dev-loss pass
+        loss_step = getattr(self, "_eval_loss_step", None)
+        if loss_step is None:
+            mcfg = self.mcfg
+            compute_dtype = self.compute_dtype
+            featurize = self._featurize if self.wav_mode else None
 
-        @jax.jit
-        def loss_step(params, state, X, y, n_real):
-            if featurize is not None:
-                X = featurize(X)
-            loss, _ = seq2seq.forward_loss(
-                params, state, mcfg, X, y, jax.random.PRNGKey(0),
-                train=False, n_real=n_real, compute_dtype=compute_dtype)
-            return loss
+            @jax.jit
+            def loss_step(params, state, X, y, n_real):
+                if featurize is not None:
+                    X = featurize(X)
+                loss, _ = seq2seq.forward_loss(
+                    params, state, mcfg, X, y, jax.random.PRNGKey(0),
+                    train=False, n_real=n_real,
+                    compute_dtype=compute_dtype)
+                return loss
+
+            self._eval_loss_step = loss_step
 
         losses, sizes = [], []
         gen = self.data_loader.get_batch(
