@@ -62,8 +62,12 @@ def _free_port():
 def test_two_process_train_and_predict(tmp_path):
     from tests.conftest import make_tiny_experiment
 
+    # steps_per_dispatch=2: the tiny stream exercises BOTH the scanned
+    # multi-step group path and the partial-run singles fallback across
+    # hosts, composing multi-step dispatch with the SPMD multi-host mesh
     exp = make_tiny_experiment(str(tmp_path), n_train=8, n_dev=6,
-                               batch_size=4)
+                               batch_size=4,
+                               extras={"steps_per_dispatch": 2})
     port = _free_port()
 
     env = dict(os.environ)
