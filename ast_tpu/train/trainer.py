@@ -162,10 +162,23 @@ class NN:
             extra = snap.get("extra") or {}
             in_epoch = int(extra.get("epoch", 0))
             in_step = int(extra.get("step", 0))
+            in_g = int(extra.get("g", 1))
+            cfg_g = max(1, int(tcfg["extras"].get("steps_per_dispatch",
+                                                  1)))
             if in_epoch >= 1 and in_epoch - 1 >= self.max_epoch:
                 self._load_snapshot(snap)
                 self.max_epoch = in_epoch - 1
-                if in_step > 0:
+                if in_step > 0 and in_g != cfg_g:
+                    # the epoch stream's grouped order depends on
+                    # steps_per_dispatch; a position from a different G
+                    # indexes a different stream — keep the params but
+                    # restart the epoch (some batches train twice,
+                    # which is safe; silent mis-skipping is not)
+                    print(f"inflight snapshot was written with "
+                          f"steps_per_dispatch={in_g} but the config "
+                          f"says {cfg_g}; restarting epoch {in_epoch} "
+                          f"from the beginning", flush=True)
+                elif in_step > 0:
                     self.inflight_resume = (in_epoch, in_step)
 
         if self.mesh is not None:
@@ -492,7 +505,10 @@ class NN:
         tmp = path + ".tmp.npz"
         save_checkpoint(tmp[:-4], self.params, self.state, self.opt_state,
                         extra={"epoch": _np.int64(epoch),
-                               "step": _np.int64(step)})
+                               "step": _np.int64(step),
+                               # the grouped stream order depends on G;
+                               # resume validates it matches
+                               "g": _np.int64(self.steps_per_dispatch)})
         os.replace(tmp, path)
 
     def eval_loss(self, set_key):

@@ -131,6 +131,40 @@ def test_preempt_snapshots_and_resumes(tmp_path):
     assert nn2.timer.n_steps == n_stream - 1   # stream minus skip=1
 
 
+def test_inflight_position_discarded_on_g_change(tmp_path):
+    """An inflight position recorded under one steps_per_dispatch must
+    not be replayed under another (the grouped stream order differs):
+    params load, the position resets to the epoch start."""
+    import json
+
+    from ast_tpu.train.trainer import NN
+
+    exp = make_tiny_experiment(str(tmp_path), n_train=12, n_dev=4,
+                               batch_size=4)
+    _enable_step_ckpt(exp)
+    nn1 = NN(exp)
+    first = []
+    _crash_after(nn1, 2, first)
+    with pytest.raises(_Boom):
+        nn1.train_epoch("tiny_train", epoch=1)
+
+    # same G: position kept
+    assert NN(exp).inflight_resume is not None
+
+    # change steps_per_dispatch: position discarded, params kept
+    cfg_path = os.path.join(exp, "train_cfg.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg["extras"]["steps_per_dispatch"] = 3
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    nn2 = NN(exp)
+    assert nn2.inflight_resume is None
+    assert nn2.max_epoch == 0          # epoch 1 restarts
+    np.testing.assert_array_equal(np.asarray(nn2.params["dec"]["out_w"]),
+                                  np.asarray(nn1.params["dec"]["out_w"]))
+
+
 def test_stale_inflight_is_ignored(tmp_path):
     from ast_tpu.train.trainer import NN
 
