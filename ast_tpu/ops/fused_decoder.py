@@ -57,8 +57,13 @@ def round_up(x, m):
 
 
 def fused_decoder_fits(L, B, H, E, A, T, Vp, weight_bytes=2):
-    """VMEM feasibility for the decoder kernels."""
-    if H % 128 or A % 128 or E % 128 or B % 8 or Vp % 128 or T % 8:
+    """VMEM feasibility for the decoder kernels.
+
+    T is deliberately NOT alignment-gated: Mosaic handles unaligned
+    encoder lengths (the recipe's odd buckets give T' = 20, 60, ...,
+    420), and measured fwd+bwd at those shapes compiles and beats the
+    scan fallback by up to 2.6x on the longest bucket (BASELINE.md)."""
+    if H % 128 or A % 128 or E % 128 or B % 8 or Vp % 128:
         return False
     wb = weight_bytes
     lstm_w = ((E + A) * 4 * H + (L - 1) * H * 4 * H + L * H * 4 * H) * wb

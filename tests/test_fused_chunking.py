@@ -21,23 +21,39 @@ from ast_tpu.ops.fused_lstm import fused_chunk_size, fused_fits
 
 
 def test_flagship_chunk_sizes():
-    """es_en_20h shapes: B=32 fits whole; B=128 selects a fitting divisor
-    instead of 0 (the round-1 behavior was scan fallback)."""
+    """es_en_20h shapes: B=32 fits whole; B=128 selects the measured
+    optimum (decoder chunk 64, encoder single kernel — see BASELINE.md
+    round-2 scoped-vmem calibration)."""
     # decoder: L=3, H=A=512, E=128, T'=160 (640 frames / 4), Vp=1152
     args = (3, 512, 128, 512, 160, round_up(1098, 128), 2)
     L, H, E, A, T, Vp, wb = args
     assert fused_decoder_chunk(L, 32, H, E, A, T, Vp, wb) == 32
-    # when actually chunking, one extra halving buys scoped-VMEM headroom
-    # (chunk 32 inside the B=128 program failed compile at 17.6M/16M)
-    c128 = fused_decoder_chunk(L, 128, H, E, A, T, Vp, wb)
-    assert c128 >= 16 and 128 % c128 == 0
+    assert fused_decoder_chunk(L, 128, H, E, A, T, Vp, wb) == 64
 
     # encoder: 3 layers x 2 dirs, 256 units/dir
     assert fused_chunk_size(3, 2, 32, 256, 2) == 32
-    e128 = fused_chunk_size(3, 2, 128, 256, 2)
-    assert e128 >= 32 and 128 % e128 == 0
+    assert fused_chunk_size(3, 2, 128, 256, 2) == 128
     # consistency: the chunk it returns actually fits
-    assert fused_fits(3, 2, e128, 256, 2)
+    assert fused_fits(3, 2, 128, 256, 2)
+
+
+def test_fused_eligible_across_all_recipe_buckets():
+    """The recipe buckets 20 durations x 80 frames (max_sp 1680 frames
+    -> T' up to 420 post-CNN).  Both kernels must stay fused-eligible
+    (chunk > 0) for EVERY bucket at the recipe batch and the throughput
+    batch — a policy regression here silently falls back to the scan
+    path and halves throughput on long utterances."""
+    Vp = round_up(1098, 128)
+    for b in range(20):
+        frames = 21 * 80 if b == 19 else (b + 1) * 80
+        Tp = frames // 4
+        for B in (32, 128):
+            dc = fused_decoder_chunk(3, B, 512, 128, 512, Tp, Vp, 2)
+            assert dc > 0, f"decoder scan fallback at bucket {b} B={B}"
+            assert B % dc == 0
+        # encoder VMEM is T-independent (streamed per-step blocks)
+        assert fused_chunk_size(3, 2, 32, 256, 2) > 0
+        assert fused_chunk_size(3, 2, 128, 256, 2) > 0
 
 
 def _tiny_decoder_inputs(B, T=6, H=16, E=8, A=16, L=2, Vp=128, steps=5):
