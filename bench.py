@@ -225,7 +225,108 @@ def bench_reference_style(n_steps=2, B=32, T=640, U=48):
     return (n_steps * B) / dt
 
 
+# Real es_en_20h train-split composition — (bucket, n_utts, frames, U) —
+# derived from the reference's fisher_20h.info (17,306 utterances;
+# counts per 80-frame duration bucket; U = estimated max BPE target
+# length per bucket, words x1.4 + GO/EOS, rounded up to 16).  Used by
+# --epoch to measure throughput over the REAL duration mix rather than
+# one bucket.
+EPOCH_BUCKETS = [
+    (0, 1025, 80, 16), (1, 3516, 160, 16), (2, 2543, 240, 32),
+    (3, 1939, 320, 32), (4, 1486, 400, 48), (5, 1188, 480, 48),
+    (6, 932, 560, 64), (7, 736, 640, 80), (8, 674, 720, 64),
+    (9, 603, 800, 64), (10, 550, 880, 64), (11, 505, 960, 64),
+    (12, 420, 1040, 80), (13, 342, 1120, 80), (14, 277, 1200, 80),
+    (15, 189, 1280, 96), (16, 138, 1360, 96), (17, 86, 1440, 80),
+    (18, 63, 1520, 80), (19, 94, 1680, 96),
+]
+
+
+def bench_epoch(B=32, G=4, compute_dtype=jnp.bfloat16):
+    """Train-throughput over a full es_en_20h-shaped epoch: every
+    duration bucket at its real utterance count (EPOCH_BUCKETS), fused
+    kernels + multi-step dispatch, bucket-major order (the grouped
+    stream the trainer produces).  Returns (epoch_seconds,
+    utts_per_sec) best-of-2 epochs after a warm epoch."""
+    from ast_tpu.models import seq2seq
+    from ast_tpu.train.optimizer import build_optimizer
+
+    mcfg, params, state = _flagship(fused=True)
+    opt_cfg = {"type": 0, "lr": 1e-3, "l2": 1e-4, "grad_clip": 2,
+               "grad_noise_eta": 0, "freeze": []}
+    opt, opt_state = build_optimizer(opt_cfg, params)
+    base = jax.random.PRNGKey(0)
+
+    def make_step(T, U):
+        X, y = _batch(B, T, U)
+        Xs = jnp.broadcast_to(X, (G,) + X.shape)
+        ys = jnp.broadcast_to(y, (G,) + y.shape)
+
+        @jax.jit
+        def multi(params, state, opt_state, i):
+            keys = jax.random.split(jax.random.fold_in(base, i), G)
+
+            def body(carry, inp):
+                p, s, o = carry
+                Xi, yi, ki = inp
+
+                def loss_fn(pp):
+                    return seq2seq.forward_loss(
+                        pp, s, mcfg, Xi, yi, ki, train=True,
+                        teach_ratio=0.8, add_noise=0.25,
+                        compute_dtype=compute_dtype)
+
+                (loss, ns), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p)
+                upd, o2 = opt.update(grads, o, p)
+                p = jax.tree.map(lambda a, u: a + u, p, upd)
+                return (p, ns, o2), loss
+
+            carry, losses = jax.lax.scan(
+                body, (params, state, opt_state), (Xs, ys, keys))
+            return carry + (losses[-1],)
+
+        return multi
+
+    plan = []  # (step_fn, n_dispatches) per bucket
+    total_utts = 0
+    for b, n, T, U in EPOCH_BUCKETS:
+        n_steps = -(-n // B)
+        n_disp = -(-n_steps // G)
+        plan.append((make_step(T, U), n_disp))
+        total_utts += n_disp * G * B  # padded epoch, like the trainer
+
+    def one_epoch(p, s, o):
+        t0 = time.perf_counter()
+        loss = None
+        for i, (step, n_disp) in enumerate(plan):
+            for j in range(n_disp):
+                p, s, o, loss = step(p, s, o, i * 1000 + j)
+        float(jax.device_get(loss))
+        return p, s, o, time.perf_counter() - t0
+
+    p, s, o = params, state, opt_state
+    p, s, o, _ = one_epoch(p, s, o)   # warm/compile epoch
+    best = 1e9
+    for _ in range(2):
+        p, s, o, dt = one_epoch(p, s, o)
+        best = min(best, dt)
+    return best, total_utts / best
+
+
 def main():
+    import sys
+    if "--epoch" in sys.argv:
+        dt, ups = bench_epoch()
+        print(json.dumps({
+            "metric": "fisher_es_en_20h_full_epoch_train",
+            "value": round(ups, 2),
+            "unit": "utts/sec/chip",
+            "epoch_seconds": round(dt, 2),
+            "config": "real 20-bucket duration mix, B=32, G=4, "
+                      "fused + bf16",
+        }))
+        return
     # The remote-TPU tunnel swings >2x between minutes; interleave the
     # measurement rounds of all jitted configurations so a slow window
     # depresses them together, and take best-of per config.  Two fused
