@@ -184,12 +184,19 @@ def _dir_lstm_matmul(p, x, wname):
 
 
 def encode(params, state, mcfg, X, key, train, add_noise=0.0,
-           compute_dtype=jnp.float32):
+           compute_dtype=jnp.float32, mesh=None):
     """Run CNN + stacked (bi)LSTM encoder.
 
     X: (B, T, D) padded speech features.
     Returns (enc_states (B, T', H), dec_h0 (L, B, H), dec_c0 (L, B, H),
     new_state).
+
+    ``mesh``: when set (multi-device SPMD), the fused Pallas recurrence
+    runs under ``shard_map`` over the mesh's 'data' axis — each device
+    executes the kernel on its local batch rows only (GSPMD cannot
+    partition an opaque Mosaic custom call; everything outside the
+    kernel stays auto-sharded).  Dropout masks hash global row indices,
+    so the sharded run is bit-identical to the single-device kernel.
     """
     rnn = mcfg["rnn_config"]
     drop = mcfg["dropout"]["rnn"]
@@ -248,9 +255,19 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
     # when disabled or when the variant doesn't apply (LayerNorm).
     use_ln = rnn.get("ln", False)
     from ast_tpu.ops.fused_lstm import fused_chunk_size
+    interp = bool(rnn.get("fused_interpret", False))
+    # data-parallel sharding of the kernel: each device runs its local
+    # batch rows, so the VMEM chunk policy sees the LOCAL batch
+    n_shards = 1
+    if mesh is not None and mesh.shape.get("data", 1) > 1 \
+            and B % mesh.shape["data"] == 0:
+        n_shards = mesh.shape["data"]
+    B_loc = B // n_shards
     chunk = fused_chunk_size(
-        n_layers, n_dirs, B, enc_units,
+        n_layers, n_dirs, B_loc, enc_units,
         2 if compute_dtype != jnp.float32 else 4)
+    if chunk <= 0 and interp:
+        chunk = B_loc  # interpret-mode tests bypass the alignment gate
     use_fused = rnn.get("fused_encoder", False) and not use_ln and chunk > 0
     if use_fused:
         from ast_tpu.ops.fused_lstm import (
@@ -261,22 +278,41 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
             wx_rest = wx_rest.astype(compute_dtype)
             wh_s = wh_s.astype(compute_dtype)
         seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
-        interp = bool(rnn.get("fused_interpret", False))
-        # batches past the VMEM budget run as independent chunk calls
-        # (no cross-batch coupling in the recurrence)
-        chunks = []
-        for ci, b0 in enumerate(range(0, B, chunk)):
-            chunks.append(fused_stacked_lstm(
-                x0_proj[:, :, b0:b0 + chunk], wx_rest, wh_s, b_s,
-                seed + 7919 * ci,
-                bool(train), float(drop) if train else 0.0, interp))
-        if len(chunks) == 1:
-            outs, h_fin, c_fin = chunks[0]
-        else:
+        drop_r = float(drop) if train else 0.0
+
+        def run_chunks(x0_l, wxr, whs, bs, sd, base_off):
+            # batches past the VMEM budget run as independent chunk
+            # calls (no cross-batch coupling in the recurrence);
+            # row offsets keep the dropout stream chunk-invariant
+            Bl = x0_l.shape[2]
+            parts = []
+            for b0 in range(0, Bl, chunk):
+                parts.append(fused_stacked_lstm(
+                    x0_l[:, :, b0:b0 + chunk], wxr, whs, bs, sd,
+                    bool(train), drop_r, interp, base_off + b0, B))
+            if len(parts) == 1:
+                return parts[0]
             # (T,D2,B,H) / (L,D2,B,H): concat on the batch axis
-            outs = jnp.concatenate([c[0] for c in chunks], axis=2)
-            h_fin = jnp.concatenate([c[1] for c in chunks], axis=2)
-            c_fin = jnp.concatenate([c[2] for c in chunks], axis=2)
+            return tuple(jnp.concatenate([p[i] for p in parts], axis=2)
+                         for i in range(3))
+
+        if n_shards > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def local(x0_l, wxr, whs, bs, sd):
+                off = jax.lax.axis_index("data") * B_loc
+                return run_chunks(x0_l, wxr, whs, bs, sd, off)
+
+            spec_b2 = P(None, None, "data", None)
+            outs, h_fin, c_fin = shard_map(
+                local, mesh=mesh,
+                in_specs=(spec_b2, P(), P(), P(), P()),
+                out_specs=(spec_b2, spec_b2, spec_b2),
+                check_vma=False)(x0_proj, wx_rest, wh_s, b_s, seed)
+        else:
+            outs, h_fin, c_fin = run_chunks(
+                x0_proj, wx_rest, wh_s, b_s, seed, 0)
     else:
         step_keys = jax.random.split(key, Tp)
         h0 = jnp.zeros((n_layers, n_dirs, B, enc_units))
@@ -467,7 +503,7 @@ def init_decoder_carry(mcfg, dec_h0, dec_c0):
 
 def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
                  teach_ratio=1.0, random_out=0.0, add_noise=0.0,
-                 compute_dtype=jnp.float32, enc_mask=None):
+                 compute_dtype=jnp.float32, enc_mask=None, mesh=None):
     """Teacher-forced (scheduled-sampling) sequence loss.
 
     X: (B, T, D) speech; y: (B, U) int32 targets incl. GO/EOS, PAD-padded.
@@ -484,13 +520,14 @@ def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
 
     key, ekey = jax.random.split(key)
     enc_states, dec_h0, dec_c0, new_state = encode(
-        params, state, mcfg, X, ekey, train, add_noise, compute_dtype)
+        params, state, mcfg, X, ekey, train, add_noise, compute_dtype,
+        mesh)
 
     if _use_fused_decoder(mcfg, params, enc_states, y, compute_dtype,
-                          enc_mask):
+                          enc_mask, mesh):
         loss = _fused_decoder_loss(
             params, mcfg, enc_states, dec_h0, dec_c0, y, key, train,
-            n_real, teach_ratio, random_out, compute_dtype)
+            n_real, teach_ratio, random_out, compute_dtype, mesh)
         return loss, new_state
 
     carry0 = init_decoder_carry(mcfg, dec_h0, dec_c0)
@@ -541,8 +578,45 @@ def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
     return jnp.sum(step_losses), new_state
 
 
+def pack_decoder_weights(params, wdt, Vp):
+    """Decoder/attention params -> the fused-kernel weight dict (vocab
+    axis padded to Vp; padded out_b rows at -1e9 so argmax never selects
+    them).  Shared by the training kernel (_fused_decoder_loss) and the
+    inference kernels (ops/fused_infer)."""
+    dec = params["dec"]
+    attn = params["attn"]
+    V = dec["out_w"].shape[1]
+    padV = Vp - V
+    return {
+        "wx0": dec["lstm"][0]["wx"].astype(wdt),
+        "wx_rest": jnp.stack(
+            [l["wx"] for l in dec["lstm"][1:]]).astype(wdt)
+        if len(dec["lstm"]) > 1 else
+        jnp.zeros((0,) + dec["lstm"][0]["wh"].shape, wdt),
+        "wh": jnp.stack([l["wh"] for l in dec["lstm"]]).astype(wdt),
+        "b": jnp.stack([l["b"] for l in dec["lstm"]]).astype(wdt),
+        "wa": attn["wa"][0]["w"].astype(wdt),
+        "wa_b": attn["wa"][0]["b"].astype(wdt),
+        "ctx_w": attn["context"]["w"].astype(wdt),
+        "ctx_b": attn["context"]["b"].astype(wdt),
+        "out_w": jnp.pad(dec["out_w"], ((0, 0), (0, padV))).astype(wdt),
+        "out_b": jnp.pad(dec["out_b"], (0, padV),
+                         constant_values=-1e9).astype(wdt),
+        "embed": jnp.pad(dec["embed"], ((0, padV), (0, 0))).astype(wdt),
+    }
+
+
+def _n_data_shards(mesh, B):
+    """Data-axis shard count when the kernel region runs under
+    shard_map (0 < shards evenly dividing B), else 1."""
+    if mesh is not None and mesh.shape.get("data", 1) > 1 \
+            and B % mesh.shape["data"] == 0:
+        return mesh.shape["data"]
+    return 1
+
+
 def _use_fused_decoder(mcfg, params, enc_states, y, compute_dtype,
-                       enc_mask):
+                       enc_mask, mesh=None):
     """Eligibility for the Pallas fused decoder training kernel."""
     rnn = mcfg["rnn_config"]
     if not rnn.get("fused_decoder", False) or enc_mask is not None:
@@ -555,20 +629,23 @@ def _use_fused_decoder(mcfg, params, enc_states, y, compute_dtype,
         return True  # interpret-mode tests bypass the alignment gate
     from ast_tpu.ops.fused_decoder import fused_decoder_chunk, round_up
     B, T, H = enc_states.shape
+    B_loc = B // _n_data_shards(mesh, B)
     L = rnn["dec_layers"]
     E = rnn["embedding_units"]
     A = rnn["attn_units"]
     Vp = round_up(rnn["dec_vocab_size"], 128)
     wb = 2 if compute_dtype != jnp.float32 else 4
-    return fused_decoder_chunk(L, B, H, E, A, T, Vp, wb) > 0
+    return fused_decoder_chunk(L, B_loc, H, E, A, T, Vp, wb) > 0
 
 
 def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
                         train, n_real, teach_ratio, random_out,
-                        compute_dtype):
+                        compute_dtype, mesh=None):
     """Decoder loss via the fused Pallas kernel (see ops/fused_decoder):
     the kernel streams attentional hidden states; loss logits are one
-    large matmul here."""
+    large matmul here.  Under a mesh the kernel runs per-device via
+    shard_map (batch rows on 'data'); global-row dropout hashing keeps
+    it bit-identical to the single-device kernel."""
     from ast_tpu.ops.fused_decoder import fused_decoder_apply, round_up
 
     rnn = mcfg["rnn_config"]
@@ -595,55 +672,61 @@ def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
     y_oh = jax.nn.one_hot(y_in, Vp, dtype=wdt)
 
     dec = params["dec"]
-    attn = params["attn"]
-    padV = Vp - V
-    w = {
-        "wx0": dec["lstm"][0]["wx"].astype(wdt),
-        "wx_rest": jnp.stack(
-            [l["wx"] for l in dec["lstm"][1:]]).astype(wdt)
-        if len(dec["lstm"]) > 1 else
-        jnp.zeros((0,) + dec["lstm"][0]["wh"].shape, wdt),
-        "wh": jnp.stack([l["wh"] for l in dec["lstm"]]).astype(wdt),
-        "b": jnp.stack([l["b"] for l in dec["lstm"]]).astype(wdt),
-        "wa": attn["wa"][0]["w"].astype(wdt),
-        "wa_b": attn["wa"][0]["b"].astype(wdt),
-        "ctx_w": attn["context"]["w"].astype(wdt),
-        "ctx_b": attn["context"]["b"].astype(wdt),
-        "out_w": jnp.pad(dec["out_w"], ((0, 0), (0, padV))).astype(wdt),
-        "out_b": jnp.pad(dec["out_b"], (0, padV),
-                         constant_values=-1e9).astype(wdt),
-        "embed": jnp.pad(dec["embed"], ((0, padV), (0, 0))).astype(wdt),
-    }
+    w = pack_decoder_weights(params, wdt, Vp)
     seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32)
 
     from ast_tpu.ops.fused_decoder import fused_decoder_chunk
     wb = 2 if wdt != jnp.float32 else 4
+    n_shards = _n_data_shards(mesh, B)
+    B_loc = B // n_shards
     chunk = fused_decoder_chunk(
-        len(dec["lstm"]), B, rnn["hidden_units"],
+        len(dec["lstm"]), B_loc, rnn["hidden_units"],
         rnn["embedding_units"], rnn["attn_units"],
         enc_states.shape[1], Vp, wb)
-    if chunk <= 0 or B % chunk:
-        chunk = B  # interpret-mode tests bypass the alignment gate
+    if chunk <= 0 or B_loc % chunk:
+        chunk = B_loc  # interpret-mode tests bypass the alignment gate
 
-    def run(b0, b1, ci):
-        return fused_decoder_apply(
-            enc_states[b0:b1].astype(wdt), dec_h0[:, b0:b1],
-            dec_c0[:, b0:b1],
-            w["wx0"], w["wx_rest"], w["wh"], w["b"], w["wa"], w["wa_b"],
-            w["ctx_w"], w["ctx_b"], w["out_w"], w["out_b"], w["embed"],
-            y_oh[:, b0:b1], coins, seed + 7919 * ci,
-            float(mcfg["dropout"]["embed"]) if train else 0.0,
-            float(mcfg["dropout"]["rnn"]) if train else 0.0,
-            bool(train), bool(rnn.get("fused_interpret", False)))
+    drop_e = float(mcfg["dropout"]["embed"]) if train else 0.0
+    drop_r = float(mcfg["dropout"]["rnn"]) if train else 0.0
+    interp = bool(rnn.get("fused_interpret", False))
 
-    if chunk == B:
-        ht_seq = run(0, B, 0)
-    else:
+    def run_chunks(enc_l, h0_l, c0_l, yoh_l, w_l, coins_l, seed_l,
+                   base_off):
         # batches past the VMEM budget run as independent chunk calls
-        # (the decoder recurrence has no cross-batch coupling)
-        ht_seq = jnp.concatenate(
-            [run(b0, b0 + chunk, ci)
-             for ci, b0 in enumerate(range(0, B, chunk))], axis=1)
+        # (the decoder recurrence has no cross-batch coupling); row
+        # offsets keep the dropout stream chunk-invariant
+        parts = []
+        for b0 in range(0, enc_l.shape[0], chunk):
+            b1 = b0 + chunk
+            parts.append(fused_decoder_apply(
+                enc_l[b0:b1].astype(wdt), h0_l[:, b0:b1], c0_l[:, b0:b1],
+                w_l["wx0"], w_l["wx_rest"], w_l["wh"], w_l["b"],
+                w_l["wa"], w_l["wa_b"], w_l["ctx_w"], w_l["ctx_b"],
+                w_l["out_w"], w_l["out_b"], w_l["embed"],
+                yoh_l[:, b0:b1], coins_l, seed_l,
+                drop_e, drop_r, bool(train), interp, base_off + b0))
+        return parts[0] if len(parts) == 1 \
+            else jnp.concatenate(parts, axis=1)
+
+    if n_shards > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local(enc_l, h0_l, c0_l, yoh_l, w_l, coins_l, seed_l):
+            off = jax.lax.axis_index("data") * B_loc
+            return run_chunks(enc_l, h0_l, c0_l, yoh_l, w_l, coins_l,
+                              seed_l, off)
+
+        ht_seq = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("data"), P(None, "data"), P(None, "data"),
+                      P(None, "data"), P(), P(), P()),
+            out_specs=P(None, "data"),
+            check_vma=False)(enc_states, dec_h0, dec_c0, y_oh, w,
+                             coins, seed)
+    else:
+        ht_seq = run_chunks(enc_states, dec_h0, dec_c0, y_oh, w, coins,
+                            seed, 0)
 
     # loss logits: one large (steps*B, A) @ (A, V) matmul
     logits = jnp.einsum(
@@ -665,7 +748,7 @@ def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
 
 
 def predict_greedy(params, state, mcfg, X, stop_limit,
-                   compute_dtype=jnp.float32, enc_mask=None):
+                   compute_dtype=jnp.float32, enc_mask=None, mesh=None):
     """Batched greedy decode with EOS early exit.
 
     Returns (preds (B, stop_limit) int32, n_steps).  Positions past a
@@ -676,7 +759,15 @@ def predict_greedy(params, state, mcfg, X, stop_limit,
     B = X.shape[0]
     key = jax.random.PRNGKey(0)  # eval mode: no randomness consumed
     enc_states, dec_h0, dec_c0, _ = encode(
-        params, state, mcfg, X, key, False, 0.0, compute_dtype)
+        params, state, mcfg, X, key, False, 0.0, compute_dtype, mesh)
+
+    chunk = _fused_infer_chunk(mcfg, enc_states, compute_dtype,
+                               enc_mask, mesh)
+    if chunk > 0:
+        preds = _fused_greedy(params, mcfg, enc_states, dec_h0, dec_c0,
+                              stop_limit, compute_dtype, chunk, mesh)
+        return preds, jnp.int32(stop_limit)
+
     carry0 = init_decoder_carry(mcfg, dec_h0, dec_c0)
 
     def cond(loop):
@@ -700,6 +791,67 @@ def predict_greedy(params, state, mcfg, X, stop_limit,
     n_steps, _, _, _, out = lax.while_loop(
         cond, body, (jnp.int32(0), word0, carry0, finished0, out0))
     return out, n_steps
+
+
+def _fused_infer_chunk(mcfg, enc_states, compute_dtype, enc_mask, mesh):
+    """Batch chunk size for the fused inference kernels (0 = fall back
+    to the lax.while_loop path).  Same variant gates as the training
+    kernel (_use_fused_decoder)."""
+    rnn = mcfg["rnn_config"]
+    if not rnn.get("fused_decoder", False) or enc_mask is not None:
+        return 0
+    if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
+            or rnn.get("ln", False)
+            or rnn.get("attn_block_size", 0)):
+        return 0
+    from ast_tpu.ops.fused_infer import fused_infer_chunk
+    from ast_tpu.ops.fused_decoder import round_up
+    B, T, H = enc_states.shape
+    B_loc = B // _n_data_shards(mesh, B)
+    if rnn.get("fused_interpret", False):
+        return B_loc  # interpret-mode tests bypass the alignment gate
+    L = rnn["dec_layers"]
+    E = rnn["embedding_units"]
+    A = rnn["attn_units"]
+    Vp = round_up(rnn["dec_vocab_size"], 128)
+    wb = 2 if compute_dtype != jnp.float32 else 4
+    return fused_infer_chunk(L, B_loc, H, E, A, T, Vp, wb)
+
+
+def _fused_greedy(params, mcfg, enc_states, dec_h0, dec_c0, stop_limit,
+                  compute_dtype, chunk, mesh):
+    """Greedy decode via the fused inference kernel (ops/fused_infer)."""
+    from ast_tpu.ops.fused_decoder import round_up
+    from ast_tpu.ops.fused_infer import greedy_decode_fused
+
+    rnn = mcfg["rnn_config"]
+    B = enc_states.shape[0]
+    wdt = compute_dtype
+    Vp = round_up(rnn["dec_vocab_size"], 128)
+    w = pack_decoder_weights(params, wdt, Vp)
+    interp = bool(rnn.get("fused_interpret", False))
+    n_shards = _n_data_shards(mesh, B)
+    B_loc = B // n_shards
+
+    def run_chunks(enc_l, h0_l, c0_l, w_l):
+        parts = []
+        for b0 in range(0, enc_l.shape[0], chunk):
+            b1 = b0 + chunk
+            parts.append(greedy_decode_fused(
+                enc_l[b0:b1].astype(wdt), h0_l[:, b0:b1],
+                c0_l[:, b0:b1], w_l, stop_limit, interp))
+        return parts[0] if len(parts) == 1 \
+            else jnp.concatenate(parts, axis=0)
+
+    if n_shards > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        return shard_map(
+            run_chunks, mesh=mesh,
+            in_specs=(P("data"), P(None, "data"), P(None, "data"), P()),
+            out_specs=P("data"),
+            check_vma=False)(enc_states, dec_h0, dec_c0, w)
+    return run_chunks(enc_states, dec_h0, dec_c0, w)
 
 
 # ---------------------------------------------------------------------------

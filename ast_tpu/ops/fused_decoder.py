@@ -140,7 +140,7 @@ def _dot_c0(a, b):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
-                seed_ref, coin_ref, yoh_ref, enc_ref,
+                seed_ref, off_ref, coin_ref, yoh_ref, enc_ref,
                 wx0_ref, wxr_ref, wh_ref, b_ref, wa_ref, wab_ref,
                 ctxw_ref, ctxb_ref, outw_ref, outb_ref, embed_ref,
                 h0_ref, c0_ref,
@@ -163,7 +163,8 @@ def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
 
     emb = _dot(sel, embed_ref[...])                     # (B, E)
     if train and emb_drop > 0:
-        keep = _drop_mask((B, E), emb_drop, seed_ref[0] + 2 * t)
+        keep = _drop_mask((B, E), emb_drop, seed_ref[0] + 2 * t,
+                          row_axis=0, row_offset=off_ref[0])
         emb = jnp.where(keep, emb / (1.0 - emb_drop), 0.0)
     emb_ref[0] = emb.astype(emb_ref.dtype)
 
@@ -183,7 +184,8 @@ def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
         x = h_new
         if train and rnn_drop > 0:
             keep = _drop_mask((B, H), rnn_drop,
-                              seed_ref[0] + 2 * (t * L + l) + 1)
+                              seed_ref[0] + 2 * (t * L + l) + 1,
+                              row_axis=0, row_offset=off_ref[0])
             x = jnp.where(keep, x / (1.0 - rnn_drop), 0.0)
 
     h_top = x                                            # (B, H), dropped
@@ -223,7 +225,8 @@ def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
 
 
 def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
-                    seed, drop_emb, drop_rnn, train, interpret=False):
+                    seed, drop_emb, drop_rnn, train, interpret=False,
+                    row_offset=0):
     """Run the fused decoder over all steps.
 
     enc_states (B,T,H) [weight dtype]; dec_h0/c0 (L,B,H) f32;
@@ -240,6 +243,7 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
     E = w["embed"].shape[1]
     rdt = w["wh"].dtype
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    off_arr = jnp.asarray(row_offset, jnp.int32).reshape(1)
 
     kern = functools.partial(_fwd_kernel, L, B, H, E, A, T, Vp,
                              float(drop_emb), float(drop_rnn), bool(train))
@@ -272,6 +276,7 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
         grid=(U,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # row offset
             pl.BlockSpec(memory_space=pltpu.SMEM),      # coins (full)
             tblk(B, Vp),                                # y_oh[t]
             full(),                                     # enc
@@ -292,7 +297,7 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(seed_arr, coins, y_oh,
+    )(seed_arr, off_arr, coins, y_oh,
       enc_states.reshape(-1, enc_states.shape[-1]),
       w["wx0"], w["wx_rest"], w["wh"], w["b"],
       w["wa"], w["wa_b"], w["ctx_w"], w["ctx_b"],
@@ -309,7 +314,7 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
-                seed_ref, acts_ref, call_ref, cprev_ref,
+                seed_ref, off_ref, acts_ref, call_ref, cprev_ref,
                 alpha_ref, ht_ref, dhtext_ref,
                 enc_ref, wx0_ref, wxr_ref, wh_ref, wa_ref, ctxw_ref,
                 dz_ref, dpre_ref, dscore_ref, dcv_ref, dq_ref, demb_ref,
@@ -356,7 +361,8 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
     # top-layer dropout between h_{L-1} and its consumers
     if train and rnn_drop > 0:
         keep = _drop_mask((B, H), rnn_drop,
-                          seed_ref[0] + 2 * (t * L + (L - 1)) + 1)
+                          seed_ref[0] + 2 * (t * L + (L - 1)) + 1,
+                          row_axis=0, row_offset=off_ref[0])
         d_htop = jnp.where(keep, d_htop * inv_keep_r, 0.0)
 
     # ---- LSTM stack backward
@@ -368,7 +374,8 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
             cons = dx_above
             if train and rnn_drop > 0:
                 keep = _drop_mask((B, H), rnn_drop,
-                                  seed_ref[0] + 2 * (t * L + l) + 1)
+                                  seed_ref[0] + 2 * (t * L + l) + 1,
+                                  row_axis=0, row_offset=off_ref[0])
                 cons = jnp.where(keep, cons * inv_keep_r, 0.0)
         dh = dh_s[l] + cons
 
@@ -404,7 +411,8 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
             d_emb = dx0[:, :E]
             if train and emb_drop > 0:
                 keep = _drop_mask((B, E), emb_drop,
-                                  seed_ref[0] + 2 * t)
+                                  seed_ref[0] + 2 * t,
+                                  row_axis=0, row_offset=off_ref[0])
                 d_emb = jnp.where(keep, d_emb * inv_keep_e, 0.0)
             demb_ref[0] = d_emb.astype(demb_ref.dtype)
             dht_s[...] = dx0[:, E:]                      # to step t-1
@@ -416,7 +424,8 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
 
 
 def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
-                     drop_emb, drop_rnn, train, interpret=False):
+                     drop_emb, drop_rnn, train, interpret=False,
+                     row_offset=0):
     """Run the reverse kernel; returns the per-step gradient streams plus
     (dh0, dc0)."""
     U, B, A = d_ht_ext.shape
@@ -426,6 +435,7 @@ def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
     E = res["emb"].shape[-1]
     rdt = w["wh"].dtype
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    off_arr = jnp.asarray(row_offset, jnp.int32).reshape(1)
 
     c_prev = jnp.concatenate(
         [dec_c0[None].astype(res["c_all"].dtype), res["c_all"][:-1]],
@@ -460,6 +470,7 @@ def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
         grid=(U,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # row offset
             rblk(L, B, 4 * H),                          # acts
             rblk(L, B, H),                              # c_all
             rblk(L, B, H),                              # c_prev
@@ -479,7 +490,7 @@ def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(seed_arr, res["acts"], res["c_all"], c_prev,
+    )(seed_arr, off_arr, res["acts"], res["c_all"], c_prev,
       res["alphas"], res["ht"], d_ht_ext,
       enc_states.reshape(-1, enc_states.shape[-1]),
       w["wx0"], w["wx_rest"], w["wh"], w["wa"], w["ctx_w"])
@@ -501,44 +512,53 @@ _W_NAMES = ["wx0", "wx_rest", "wh", "b", "wa", "wa_b", "ctx_w", "ctx_b",
 def fused_decoder_apply(enc_states, dec_h0, dec_c0,
                         wx0, wx_rest, wh, b, wa, wa_b, ctx_w, ctx_b,
                         out_w, out_b, embed, y_oh, coins, seed,
-                        drop_emb, drop_rnn, train, interpret):
-    """Differentiable fused decoder: returns ht_seq (U, B, A) f32."""
+                        drop_emb, drop_rnn, train, interpret,
+                        row_offset=0):
+    """Differentiable fused decoder: returns ht_seq (U, B, A) f32.
+
+    ``row_offset``: global index of this call's first batch row — the
+    dropout hashes use global row ids, so chunked/data-sharded calls are
+    bit-identical to one full-batch kernel."""
     w = dict(zip(_W_NAMES, [wx0, wx_rest, wh, b, wa, wa_b, ctx_w, ctx_b,
                             out_w, out_b, embed]))
     ht, _ = decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
-                            seed, drop_emb, drop_rnn, train, interpret)
+                            seed, drop_emb, drop_rnn, train, interpret,
+                            row_offset)
     return ht
 
 
 def _fd_fwd(enc_states, dec_h0, dec_c0, wx0, wx_rest, wh, b, wa, wa_b,
             ctx_w, ctx_b, out_w, out_b, embed, y_oh, coins, seed,
-            drop_emb, drop_rnn, train, interpret):
+            drop_emb, drop_rnn, train, interpret, row_offset=0):
     w = dict(zip(_W_NAMES, [wx0, wx_rest, wh, b, wa, wa_b, ctx_w, ctx_b,
                             out_w, out_b, embed]))
     ht, res = decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
-                              seed, drop_emb, drop_rnn, train, interpret)
+                              seed, drop_emb, drop_rnn, train, interpret,
+                              row_offset)
     res["ht"] = ht
-    keep = (enc_states, dec_h0, dec_c0, w, res, seed)
+    keep = (enc_states, dec_h0, dec_c0, w, res, seed, row_offset)
     return ht, keep
 
 
-def _regen_masks(U, shape, rate, seed, offset, stride):
+def _regen_masks(U, shape, rate, seed, offset, stride, row_offset=0):
     """Per-step dropout keep-masks, identical to the in-kernel hashes."""
     return jnp.stack([
-        _drop_mask(shape, rate, seed + t * stride + offset)
+        _drop_mask(shape, rate, seed + t * stride + offset,
+                   row_axis=0, row_offset=row_offset)
         for t in range(U)
     ])
 
 
 def _fd_bwd(drop_emb, drop_rnn, train, interpret, keep, d_ht_ext):
-    enc_states, dec_h0, dec_c0, w, res, seed = keep
+    enc_states, dec_h0, dec_c0, w, res, seed, row_offset = keep
     U, B, A = d_ht_ext.shape
     L = res["acts"].shape[1]
     H = res["c_all"].shape[-1]
     E = res["emb"].shape[-1]
 
     g = decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
-                         drop_emb, drop_rnn, train, interpret)
+                         drop_emb, drop_rnn, train, interpret,
+                         row_offset)
 
     f32 = jnp.float32
     dz = g["dz"].astype(f32)                             # (U, L, B, 4H)
@@ -563,7 +583,7 @@ def _fd_bwd(drop_emb, drop_rnn, train, interpret, keep, d_ht_ext):
         for l in range(L):
             masks = _regen_masks(U, (B, H), drop_rnn,
                                  jnp.asarray(seed, jnp.int32),
-                                 2 * l + 1, 2 * L)
+                                 2 * l + 1, 2 * L, row_offset)
             x_drop.append(jnp.where(masks, h_all[:, l] * inv, 0.0))
         x_drop = jnp.stack(x_drop, axis=1)               # (U, L, B, H)
     else:
@@ -614,7 +634,7 @@ def _fd_bwd(drop_emb, drop_rnn, train, interpret, keep, d_ht_ext):
             cast(d_ctx_w, w["ctx_w"]), cast(d_ctx_b, w["ctx_b"]),
             jnp.zeros_like(w["out_w"]), jnp.zeros_like(w["out_b"]),
             cast(d_embed, w["embed"]),
-            None, None, None)
+            None, None, None, None)
 
 
 fused_decoder_apply.defvjp(_fd_fwd, _fd_bwd)

@@ -54,19 +54,32 @@ def _apply_gates(z, c_prev, H):
     return i, f, g, o, c_new, h_new
 
 
-def _drop_mask(shape, rate, seed_val):
+def _drop_mask(shape, rate, seed_val, row_axis=None, row_offset=0,
+               global_rows=None):
     """Deterministic keep-mask from a counter-based integer hash.
 
     Pure jnp (no TPU-only PRNG primitives) so the identical mask is
     regenerated in the backward kernel and in CPU interpret mode.  A
     murmur-style avalanche over (element index, seed) is plenty for
-    dropout; it is not a cryptographic stream."""
+    dropout; it is not a cryptographic stream.
+
+    ``row_axis``/``row_offset``/``global_rows``: hash GLOBAL batch-row
+    indices — the local block covers rows [row_offset, row_offset +
+    shape[row_axis]) of a logical batch of ``global_rows`` rows.  Masks
+    are then invariant to how the batch is split across kernel chunks or
+    data-parallel shards (fused-mesh == fused-single-device bit-exact).
+    With the defaults the hash reduces to the local flat index."""
     flat = jnp.uint32(0)
     stride = 1
     for axis in reversed(range(len(shape))):
         ids = jax.lax.broadcasted_iota(jnp.uint32, shape, axis)
+        if row_axis is not None and axis == row_axis:
+            ids = ids + jnp.uint32(row_offset)
+            dim = global_rows if global_rows is not None else shape[axis]
+        else:
+            dim = shape[axis]
         flat = flat + ids * jnp.uint32(stride)
-        stride *= shape[axis]
+        stride *= dim
     x = flat + jnp.uint32(seed_val).astype(jnp.uint32) * jnp.uint32(2654435761)
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x7FEB352D)
@@ -77,14 +90,14 @@ def _drop_mask(shape, rate, seed_val):
     return x >= threshold
 
 
-def _fwd_kernel(L, D2, B, H, train, drop_rate, *refs):
+def _fwd_kernel(L, D2, B, H, Bg, train, drop_rate, *refs):
     if train:
-        (seed_ref, x0_ref, wx_ref, wh_ref, b_ref,
+        (seed_ref, off_ref, x0_ref, wx_ref, wh_ref, b_ref,
          outs_ref, hfin_ref, cfin_ref,
          acts_ref, call_ref, hpre_ref, xdrop_ref,
          h_s, c_s) = refs
     else:
-        (seed_ref, x0_ref, wx_ref, wh_ref, b_ref,
+        (seed_ref, off_ref, x0_ref, wx_ref, wh_ref, b_ref,
          outs_ref, hfin_ref, cfin_ref,
          h_s, c_s) = refs
 
@@ -127,7 +140,9 @@ def _fwd_kernel(L, D2, B, H, train, drop_rate, *refs):
 
         if train and drop_rate > 0:
             keep = _drop_mask((D2, B, H), drop_rate,
-                              seed_ref[0] + t * L + l)
+                              seed_ref[0] + t * L + l,
+                              row_axis=1, row_offset=off_ref[0],
+                              global_rows=Bg)
             x_out = jnp.where(keep, h_new * inv_keep, 0.0)
         else:
             x_out = h_new
@@ -147,8 +162,8 @@ def _fwd_kernel(L, D2, B, H, train, drop_rate, *refs):
         cfin_ref[...] = c_s[...]
 
 
-def _bwd_kernel(L, D2, B, H, drop_rate,
-                seed_ref, acts_ref, call_ref, cprev_ref,
+def _bwd_kernel(L, D2, B, H, Bg, drop_rate,
+                seed_ref, off_ref, acts_ref, call_ref, cprev_ref,
                 wx_ref, wh_ref, douts_ref, dhfin_ref, dcfin_ref,
                 dz_ref, dh_s, dc_s):
     """Reverse-time pass producing dz for every (t, l, d).  Grid step k
@@ -170,7 +185,9 @@ def _bwd_kernel(L, D2, B, H, drop_rate,
 
         if drop_rate > 0:
             keep = _drop_mask((D2, B, H), drop_rate,
-                              seed_ref[0] + t * L + l)
+                              seed_ref[0] + t * L + l,
+                              row_axis=1, row_offset=off_ref[0],
+                              global_rows=Bg)
             cons = jnp.where(keep, cons * inv_keep, 0.0)
 
         dh = dh_s[l] + cons                              # (D2, B, H)
@@ -216,16 +233,20 @@ def _bwd_kernel(L, D2, B, H, drop_rate,
             dx_above = jnp.stack(dx_dirs)
 
 
-def _forward(x0_proj, wx, wh, b, seed, train, drop_rate, interpret):
+def _forward(x0_proj, wx, wh, b, seed, train, drop_rate, interpret,
+             row_offset=0, global_rows=None):
     T, D2, B, H4 = x0_proj.shape
     H = H4 // 4
     L = wh.shape[0]
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    off_arr = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    Bg = int(global_rows) if global_rows is not None else B
     # residual streams inherit the weight dtype: bf16 weights => bf16
     # activations in HBM, halving backward-pass memory traffic
     res_dtype = wh.dtype
 
-    kern = functools.partial(_fwd_kernel, L, D2, B, H, train, drop_rate)
+    kern = functools.partial(_fwd_kernel, L, D2, B, H, Bg, train,
+                             drop_rate)
 
     def t_block(*dims):
         return pl.BlockSpec((1,) + dims,
@@ -256,6 +277,7 @@ def _forward(x0_proj, wx, wh, b, seed, train, drop_rate, interpret):
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # row offset
             t_block(D2, B, 4 * H),                     # x0_proj
             full(), full(), full(),                    # wx, wh, b
         ],
@@ -267,42 +289,53 @@ def _forward(x0_proj, wx, wh, b, seed, train, drop_rate, interpret):
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(seed_arr, x0_proj, wx, wh, b)
+    )(seed_arr, off_arr, x0_proj, wx, wh, b)
     return tuple(out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 9))
 def fused_stacked_lstm(x0_proj, wx, wh, b, seed, train, drop_rate,
-                       interpret=False):
-    """Fused encoder recurrence.  Returns (outs, h_fin, c_fin)."""
-    out = _forward(x0_proj, wx, wh, b, seed, train, drop_rate, interpret)
+                       interpret=False, row_offset=0, global_rows=None):
+    """Fused encoder recurrence.  Returns (outs, h_fin, c_fin).
+
+    ``row_offset``/``global_rows``: this call covers batch rows
+    [row_offset, row_offset+B) of a logical batch of ``global_rows``
+    rows — dropout masks hash global row ids, so chunked and
+    data-sharded runs are bit-identical to one full-batch kernel."""
+    out = _forward(x0_proj, wx, wh, b, seed, train, drop_rate, interpret,
+                   row_offset, global_rows)
     return out[0], out[1], out[2]
 
 
-def _fwd_rule(x0_proj, wx, wh, b, seed, train, drop_rate, interpret):
+def _fwd_rule(x0_proj, wx, wh, b, seed, train, drop_rate, interpret,
+              row_offset=0, global_rows=None):
     if not train:
         # still need residuals to differentiate; run the storing variant
-        out = _forward(x0_proj, wx, wh, b, seed, True, 0.0, interpret)
+        out = _forward(x0_proj, wx, wh, b, seed, True, 0.0, interpret,
+                       row_offset, global_rows)
     else:
         out = _forward(x0_proj, wx, wh, b, seed, train, drop_rate,
-                       interpret)
+                       interpret, row_offset, global_rows)
     outs, h_fin, c_fin, acts, c_all, h_pre, x_drop = out
-    residuals = (wx, wh, acts, c_all, h_pre, x_drop, seed)
+    residuals = (wx, wh, acts, c_all, h_pre, x_drop, seed, row_offset)
     return (outs, h_fin, c_fin), residuals
 
 
-def _bwd_rule(train, drop_rate, interpret, residuals, cotangents):
-    wx, wh, acts, c_all, h_pre, x_drop, seed = residuals
+def _bwd_rule(train, drop_rate, interpret, global_rows, residuals,
+              cotangents):
+    wx, wh, acts, c_all, h_pre, x_drop, seed, row_offset = residuals
     douts, dh_fin, dc_fin = cotangents
     T, L, D2, B, H4 = acts.shape
     H = H4 // 4
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    off_arr = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    Bg = int(global_rows) if global_rows is not None else B
 
     c_prev = jnp.concatenate(
         [jnp.zeros_like(c_all[:1]), c_all[:-1]], axis=0)
 
     rate = drop_rate if train else 0.0
-    kern = functools.partial(_bwd_kernel, L, D2, B, H, rate)
+    kern = functools.partial(_bwd_kernel, L, D2, B, H, Bg, rate)
 
     def rev_t(*dims):
         return pl.BlockSpec((1,) + dims,
@@ -317,6 +350,7 @@ def _bwd_rule(train, drop_rate, interpret, residuals, cotangents):
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # row offset
             rev_t(L, D2, B, 4 * H),                   # acts
             rev_t(L, D2, B, H),                       # c_all
             rev_t(L, D2, B, H),                       # c_prev
@@ -333,7 +367,8 @@ def _bwd_rule(train, drop_rate, interpret, residuals, cotangents):
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(seed_arr, acts, c_all, c_prev, wx, wh, douts, dh_fin, dc_fin)[0]
+    )(seed_arr, off_arr, acts, c_all, c_prev, wx, wh, douts, dh_fin,
+      dc_fin)[0]
 
     # weight gradients as large time-batched einsums (MXU-friendly)
     h_prev = jnp.concatenate(
@@ -344,7 +379,7 @@ def _bwd_rule(train, drop_rate, interpret, residuals, cotangents):
                      preferred_element_type=jnp.float32)
     db = jnp.sum(dz.astype(jnp.float32), axis=(0, 3))
     dx0 = dz[:, 0].astype(jnp.float32)                 # (T, D2, B, 4H)
-    return dx0, dwx, dwh, db, None
+    return dx0, dwx, dwh, db, None, None
 
 
 fused_stacked_lstm.defvjp(_fwd_rule, _bwd_rule)

@@ -231,6 +231,7 @@ class NN:
         mcfg = self.mcfg
         opt = self.opt
         compute_dtype = self.compute_dtype
+        mesh = self.mesh  # fused Pallas kernels shard_map over 'data'
 
         featurize = self._featurize if self.wav_mode else None
 
@@ -251,7 +252,7 @@ class NN:
                     teach_ratio=extras["teach_ratio"],
                     random_out=extras["random_out"],
                     add_noise=extras["speech_noise"],
-                    compute_dtype=compute_dtype,
+                    compute_dtype=compute_dtype, mesh=mesh,
                 )
 
             if remat:
@@ -307,6 +308,7 @@ class NN:
         mcfg = self.mcfg
         compute_dtype = self.compute_dtype
         stop_limit = self.cfg.train["data"]["max_pred"]
+        mesh = self.mesh
 
         featurize = self._featurize if self.wav_mode else None
 
@@ -314,7 +316,8 @@ class NN:
             if featurize is not None:
                 X = featurize(X)
             preds, _ = seq2seq.predict_greedy(
-                params, state, mcfg, X, stop_limit, compute_dtype)
+                params, state, mcfg, X, stop_limit, compute_dtype,
+                mesh=mesh)
             return preds
 
         if self.mesh is not None:
@@ -522,6 +525,7 @@ class NN:
             mcfg = self.mcfg
             compute_dtype = self.compute_dtype
             featurize = self._featurize if self.wav_mode else None
+            mesh = self.mesh
 
             @jax.jit
             def loss_step(params, state, X, y, n_real):
@@ -530,7 +534,7 @@ class NN:
                 loss, _ = seq2seq.forward_loss(
                     params, state, mcfg, X, y, jax.random.PRNGKey(0),
                     train=False, n_real=n_real,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, mesh=mesh)
                 return loss
 
             self._eval_loss_step = loss_step
