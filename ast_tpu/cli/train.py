@@ -80,6 +80,16 @@ def main(argv=None):
             with open(nn.train_log, mode="a") as train_log:
                 train_log.write(f"{epoch:d}, {epoch_loss:.4f}\n")
 
+        # a SIGTERM that lands between the batch loop and the epoch's
+        # eval phases would otherwise run the full dev decode + BLEU and
+        # only stop at the next epoch's batch loop (or be lost entirely
+        # after the final epoch) — check at each phase boundary; the
+        # epoch-boundary inflight marker written by train_epoch already
+        # covers the state
+        if nn.preempt_pending():
+            print("preempted after training phase; exiting cleanly")
+            return
+
         preds = nn.predict(dev_key)
         hyps = nn.data_loader.get_hyps(preds)
         bleu = metrics.calc_bleu(hyps) * 100
@@ -96,6 +106,10 @@ def main(argv=None):
             print("Saving model")
             nn.save(epoch)
             print("Finished saving model")
+
+        if nn.preempt_pending():
+            print("preempted after eval phase; exiting cleanly")
+            return
 
 
 if __name__ == "__main__":

@@ -46,6 +46,12 @@ def write_pack(out_path, items, dtype=None):
                 mat = mat.astype(dtype)
             if mat.ndim != 2:
                 raise ValueError(f"{utt}: expected (T, D), got {mat.shape}")
+            if utt in index:
+                # last-wins would leave orphaned bytes and silently
+                # serve the wrong features for a mis-laid-out corpus
+                raise ValueError(
+                    f"duplicate utterance key {utt!r} in pack input "
+                    f"(same stem in two subdirectories?)")
             index[utt] = (f.tell(), mat.shape[0], mat.shape[1],
                           mat.dtype.str)
             f.write(mat.tobytes())

@@ -49,11 +49,76 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
     """
     max_len = stop_limit + 1
 
+    def fused_chunk(B, T, H):
+        """Utterance-chunk size for the fused beam kernel (0 = XLA
+        frontier loop).  Attention history stays on the XLA path."""
+        rnn = mcfg["rnn_config"]
+        if return_attn or not rnn.get("fused_decoder", False):
+            return 0
+        if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
+                or rnn.get("ln", False)
+                or rnn.get("attn_block_size", 0)):
+            return 0
+        if rnn.get("fused_interpret", False):
+            return B
+        from ast_tpu.ops.fused_decoder import round_up
+        from ast_tpu.ops.fused_infer import fused_beam_chunk
+        Vp = round_up(rnn["dec_vocab_size"], 128)
+        wb = 2 if compute_dtype != jnp.float32 else 4
+        return fused_beam_chunk(
+            rnn["dec_layers"], B, N, H, rnn["embedding_units"],
+            rnn["attn_units"], T, Vp, wb)
+
+    def fused_decode(params, enc_states, dec_h0, dec_c0, chunk):
+        from ast_tpu.ops.fused_decoder import round_up
+        from ast_tpu.ops.fused_infer import beam_decode_fused
+        rnn = mcfg["rnn_config"]
+        Vp = round_up(rnn["dec_vocab_size"], 128)
+        w = seq2seq.pack_decoder_weights(params, compute_dtype, Vp)
+        interp = bool(rnn.get("fused_interpret", False))
+        parts = []
+        for b0 in range(0, enc_states.shape[0], chunk):
+            b1 = b0 + chunk
+            parts.append(beam_decode_fused(
+                enc_states[b0:b1].astype(compute_dtype),
+                dec_h0[:, b0:b1], dec_c0[:, b0:b1], w, N, K,
+                stop_limit, interp))
+        if len(parts) == 1:
+            return parts[0]
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=0)
+                     for i in range(3))
+
     def decode(params, state, X):
         B = X.shape[0]
         key = jax.random.PRNGKey(0)
         enc_states, dec_h0, dec_c0, _ = seq2seq.encode(
-            params, state, mcfg, X, key, False, 0.0, compute_dtype)
+            params, state, mcfg, X, key, False, 0.0, compute_dtype,
+            mesh)
+
+        n_shards = 1
+        if mesh is not None and mesh.shape.get("data", 1) > 1 \
+                and B % mesh.shape["data"] == 0:
+            n_shards = mesh.shape["data"]
+        B_loc = B // n_shards
+        chunk = fused_chunk(B_loc, enc_states.shape[1],
+                            enc_states.shape[2])
+        if chunk > 0 and n_shards > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def local(enc_l, h0_l, c0_l, p):
+                return fused_decode(p, enc_l, h0_l, c0_l, chunk)
+
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(P("data"), P(None, "data"), P(None, "data"),
+                          P()),
+                out_specs=(P("data"), P("data"), P("data")),
+                check_vma=False)(enc_states, dec_h0, dec_c0, params)
+        if chunk > 0:
+            return fused_decode(params, enc_states, dec_h0, dec_c0,
+                                chunk)
+
         carry = seq2seq.init_decoder_carry(mcfg, dec_h0, dec_c0)
 
         # tile to the beam: batch axis becomes B*N (beam-major within utt)

@@ -430,12 +430,30 @@ class NN:
         consumed = skip
         last_snap = skip
 
+        # multi-host: hosts must agree on the stop step or the ones that
+        # keep running block forever in the next dispatch's collectives.
+        # Local flags are OR-combined over DCN at a fixed cadence (the
+        # consumed counter is identical on every host, so all hosts hit
+        # the collective together and reach the same decision).
+        sync_every = max(1, int(tcfg["extras"].get(
+            "preempt_sync_steps", ckpt_steps or 8)))
+
+        def preempt_agreed():
+            if jax.process_count() <= 1:
+                return self._preempt
+            if consumed % sync_every:
+                return False
+            from jax.experimental import multihost_utils
+            flags = multihost_utils.process_allgather(
+                np.int32(1 if self._preempt else 0))
+            return bool(np.any(np.asarray(flags)))
+
         def maybe_snapshot():
             nonlocal last_snap
             if ckpt_steps and consumed - last_snap >= ckpt_steps:
                 self.save_inflight(epoch, consumed)
                 last_snap = consumed
-            if self._preempt:
+            if preempt_agreed():
                 self.save_inflight(epoch, consumed)
                 raise PreemptedError(
                     f"preempted: epoch {epoch} snapshotted after "
@@ -496,6 +514,18 @@ class NN:
         """Ask the running epoch to snapshot and stop at the next batch
         boundary (signal-handler safe: only sets a flag)."""
         self._preempt = True
+
+    def preempt_pending(self):
+        """Host-agreed preemption status OUTSIDE the batch loop (epoch
+        phase boundaries: after train, after dev decode).  All hosts
+        must call this at the same point; the OR over hosts means a
+        SIGTERM delivered to any one host stops all of them."""
+        if jax.process_count() <= 1:
+            return self._preempt
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.int32(1 if self._preempt else 0))
+        return bool(np.any(np.asarray(flags)))
 
     def save_inflight(self, epoch, step):
         """Atomic mid-epoch snapshot for crash recovery (process 0 only:

@@ -290,11 +290,16 @@ def bench_epoch(B=32, G=4, compute_dtype=jnp.bfloat16):
 
     plan = []  # (step_fn, n_dispatches) per bucket
     total_utts = 0
+    total_slots = 0
     for b, n, T, U in EPOCH_BUCKETS:
         n_steps = -(-n // B)
         n_disp = -(-n_steps // G)
         plan.append((make_step(T, U), n_disp))
-        total_utts += n_disp * G * B  # padded epoch, like the trainer
+        # headline counts REAL utterances (the trainer's accounting:
+        # sizes = len(batch['utts'])); the device executes the padded
+        # slot count, reported separately
+        total_utts += n
+        total_slots += n_disp * G * B
 
     def one_epoch(p, s, o):
         t0 = time.perf_counter()
@@ -311,17 +316,18 @@ def bench_epoch(B=32, G=4, compute_dtype=jnp.bfloat16):
     for _ in range(2):
         p, s, o, dt = one_epoch(p, s, o)
         best = min(best, dt)
-    return best, total_utts / best
+    return best, total_utts / best, total_slots / best
 
 
 def main():
     import sys
     if "--epoch" in sys.argv:
-        dt, ups = bench_epoch()
+        dt, ups, sps = bench_epoch()
         print(json.dumps({
             "metric": "fisher_es_en_20h_full_epoch_train",
             "value": round(ups, 2),
             "unit": "utts/sec/chip",
+            "padded_slots_per_sec": round(sps, 2),
             "epoch_seconds": round(dt, 2),
             "config": "real 20-bucket duration mix, B=32, G=4, "
                       "fused + bf16",
@@ -350,15 +356,24 @@ def main():
                 steps_per_dispatch=G)
         except Exception:
             pass
-    fused_best = {k: 0.0 for k in runners}
+    fused_rounds = {k: [] for k in runners}
     scan_best = {k: 0.0 for k in scans}
     for _ in range(4):
         for k, run in runners.items():
             B = specs[k][0]
-            fused_best[k] = max(fused_best[k], run(max(8, 1024 // B)))
+            fused_rounds[k].append(run(max(8, 1024 // B)))
         for k, run in scans.items():
             B = specs[k][0]
             scan_best[k] = max(scan_best[k], run(max(4, 256 // B)))
+    fused_best = {k: max(v) for k, v in fused_rounds.items()}
+    fused_median = {k: float(np.median(v))
+                    for k, v in fused_rounds.items()}
+    # relative spread over rounds: (max - min) / median — the recorded
+    # artifact's round-over-round comparability signal (the remote-TPU
+    # tunnel swings >2x between minutes; see BASELINE.md)
+    fused_spread = {
+        k: round((max(v) - min(v)) / max(1e-9, float(np.median(v))), 3)
+        for k, v in fused_rounds.items()}
     try:
         standin = bench_reference_style()
     except Exception:
@@ -382,8 +397,13 @@ def main():
         "vs_baseline": round(vs_scan, 2) if vs_scan else None,
         "vs_jitted_scan": round(vs_scan, 2) if vs_scan else None,
         "vs_dispatch_standin": round(vs_standin, 2) if vs_standin else None,
+        "median": round(fused_median[best_cfg], 2),
+        "spread": fused_spread[best_cfg],
         "fused_utts_per_sec": {
             k: round(v, 2) for k, v in fused_best.items()},
+        "fused_median_utts_per_sec": {
+            k: round(v, 2) for k, v in fused_median.items()},
+        "fused_spread": fused_spread,
         "baseline_utts_per_sec": {
             **{f"jitted_scan_f32_{k}": round(v, 2)
                for k, v in scan_best.items() if v},

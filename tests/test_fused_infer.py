@@ -1,0 +1,83 @@
+"""Fused inference kernels (interpret mode) vs the lax.while_loop paths.
+
+The fused greedy/beam decoders must produce the exact token streams the
+XLA loop decoders produce — same argmax chain, same EOS bookkeeping,
+same post-EOS content (kept, reference parity: dataloader get_hyps).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ast_tpu.models import seq2seq
+from ast_tpu.symbols import SYMBOLS
+from tests.conftest import TINY_MODEL_CFG
+
+V = 12
+STOP = 14
+
+
+def _mcfg(fused):
+    m = jax.tree.map(lambda x: x, TINY_MODEL_CFG)
+    m["rnn_config"] = dict(m["rnn_config"], dec_vocab_size=V,
+                           fused_decoder=fused, fused_interpret=fused)
+    m["dropout"] = {"embed": 0.0, "rnn": 0.0, "out": 0}
+    return m
+
+
+@pytest.fixture(scope="module")
+def model():
+    params, state = seq2seq.init_model(jax.random.PRNGKey(3), _mcfg(False))
+    # EOS bias staggers sentence-finish steps
+    params["dec"]["out_b"] = params["dec"]["out_b"].at[
+        SYMBOLS.EOS_ID].add(2.0)
+    X = jax.random.normal(jax.random.PRNGKey(4), (4, 44, 13)) * 0.5
+    return params, state, X
+
+
+def test_fused_greedy_matches_while_loop(model):
+    params, state, X = model
+    ref, _ = seq2seq.predict_greedy(params, state, _mcfg(False), X, STOP)
+    got, _ = seq2seq.predict_greedy(params, state, _mcfg(True), X, STOP)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_fused_beam_matches_while_loop(model):
+    """In-kernel frontier loop == the XLA batched beam (which is itself
+    pinned against the sequential reference in test_beam_oracle)."""
+    from ast_tpu.ops import beam as beam_ops
+
+    params, state, X = model
+    N = K = 3
+    ref_dec = beam_ops.make_beam_decoder(_mcfg(False), N=N, K=K,
+                                         stop_limit=STOP)
+    got_dec = beam_ops.make_beam_decoder(_mcfg(True), N=N, K=K,
+                                         stop_limit=STOP)
+    r_hyps, r_scores, r_lens = (np.asarray(a)
+                                for a in ref_dec(params, state, X))
+    g_hyps, g_scores, g_lens = (np.asarray(a)
+                                for a in got_dec(params, state, X))
+
+    np.testing.assert_array_equal(r_lens, g_lens)
+    np.testing.assert_allclose(r_scores, g_scores, rtol=1e-5, atol=1e-5)
+    for b in range(r_hyps.shape[0]):
+        for n in range(N):
+            L = r_lens[b, n]
+            np.testing.assert_array_equal(
+                r_hyps[b, n, :L], g_hyps[b, n, :L],
+                err_msg=f"hyp mismatch at utt {b} slot {n}")
+
+
+def test_fused_greedy_eos_padding(model):
+    """Steps after the whole batch has finished are PAD in both paths."""
+    params, state, X = model
+    got, _ = seq2seq.predict_greedy(params, state, _mcfg(True), X, 40)
+    arr = np.asarray(got)
+    # every row must contain an EOS with this bias; find the global
+    # finish step and check all later columns are PAD
+    eos_steps = [np.nonzero(arr[b] == SYMBOLS.EOS_ID)[0] for b in
+                 range(arr.shape[0])]
+    assert all(len(e) for e in eos_steps)
+    done = max(int(e[0]) for e in eos_steps)
+    assert (arr[:, done + 1:] == SYMBOLS.PAD_ID).all()
