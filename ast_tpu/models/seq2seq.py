@@ -91,10 +91,17 @@ def init_model(key, mcfg, in_dim=13):
     cnn_out = cnn["cnn_layers"][-1]["out_channels"]
 
     def stacked_dir_lstm(key, n_layers, in0):
-        """Per-layer params with a leading direction axis (n_dirs, ...)."""
+        """Per-layer params with a leading direction axis (n_dirs, ...).
+
+        Stacked mode: layer l>0 consumes its own direction's output
+        (enc_units wide).  linear_proj mode: every layer consumes the
+        full-width projected states (hidden wide) — reference:
+        seq2seq.py:252-281 feeds enc_states to every layer."""
+        proj_mode = rnn.get("linear_proj", False)
         layers = []
         for l in range(n_layers):
-            in_dim_l = in0 if l == 0 else enc_units
+            in_dim_l = in0 if l == 0 else (
+                hidden if proj_mode else enc_units)
             dir_params = []
             for d in range(n_dirs):
                 key, sub = jax.random.split(key)

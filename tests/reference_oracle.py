@@ -101,6 +101,11 @@ class ReferenceOracle:
         return out
 
     def forward_cnn(self, X, train):
+        X = np.asarray(X)
+        if np.issubdtype(X.dtype, np.integer):
+            # text-encoder mode: source-token embedding feeds the same
+            # conv stack (reference: enc_dec.py:162-164, 517-525)
+            X = np.asarray(self.p["enc"]["embed"], np.float64)[X]
         h = np.asarray(X, np.float64)[:, None, :, :]  # (B,1,T,D)
         for li, layer in enumerate(self.mcfg["cnn_config"]["cnn_layers"]):
             p = self.p["cnn"][li]
@@ -150,9 +155,58 @@ class ReferenceOracle:
             rnn_states = h_fwd
         self.enc_states = np.swapaxes(rnn_states, 0, 1)  # (B, T, H)
 
+    def forward_rnn_encode_proj(self, X, train):
+        """linear_proj variant: per-layer biLSTM -> Linear+BN+ReLU
+        between layers (reference: seq2seq.py:244-291).  Follows
+        ast_tpu's documented correction: the reverse stack consumes the
+        true reversed sequence (the reference feeds the constant LAST
+        frame, enc_states[-1], at every step — seq2seq.py:256)."""
+        for link in self.rnn_enc + self.rnn_rev_enc + self.rnn_dec:
+            link.reset_state()
+        T = X.shape[0]
+        seq = X
+        n_layers = len(self.rnn_enc)
+        for l in range(n_layers):
+            self.rnn_enc[l].reset_state()
+            if self.bi:
+                self.rnn_rev_enc[l].reset_state()
+            h_fwd, h_rev = [], []
+            for i in range(T):
+                h_fwd.append(self.rnn_enc[l](seq[i]))
+                if self.bi:
+                    h_rev.append(self.rnn_rev_enc[l](seq[T - 1 - i]))
+            h_fwd = np.stack(h_fwd)
+            if self.bi:
+                layer_out = np.concatenate(
+                    [h_fwd, np.stack(h_rev)[::-1]], axis=2)
+            else:
+                layer_out = h_fwd
+            if l < n_layers - 1:
+                pp = self.p["enc"]["proj"][l]
+                ps = self.s["enc_proj_bn"][l]
+                flat = layer_out.reshape(-1, layer_out.shape[-1])
+                flat = flat @ np.asarray(pp["w"], np.float64) \
+                    + np.asarray(pp["b"])
+                if train:
+                    mean = flat.mean(axis=0)
+                    var = flat.var(axis=0)
+                else:
+                    mean = np.asarray(ps["bn_mean"], np.float64)
+                    var = np.asarray(ps["bn_var"], np.float64)
+                flat = (flat - mean) / np.sqrt(var + 2e-5)
+                flat = flat * np.asarray(pp["bn_gamma"]) \
+                    + np.asarray(pp["bn_beta"])
+                seq = np.maximum(flat, 0.0).reshape(layer_out.shape)
+            else:
+                rnn_states = layer_out
+        self.enc_states = np.swapaxes(rnn_states, 0, 1)  # (B, T, H)
+
     def encode(self, X, train, rev_quirk):
         h = self.forward_cnn(X, train)
-        self.forward_rnn_encode(h, rev_quirk)
+        if self.rnn_cfg.get("linear_proj", False):
+            self.forward_rnn_encode_proj(h, train)
+        else:
+            self.forward_rnn_encode(h, rev_quirk)
 
     def init_decoder_state(self):
         for enc, rev, dec in zip(

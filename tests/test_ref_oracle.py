@@ -107,6 +107,90 @@ def test_greedy_decode_matches_oracle():
         assert g == w, f"row {b}: {g} != {w}"
 
 
+def _setup_variant(edit_mcfg, seed=5, text_mode=False):
+    """Build a variant model (linear_proj / n_attn>1 / text-encoder)
+    with perturbed weights + matching inputs."""
+    mcfg = copy.deepcopy(TINY_MODEL_CFG)
+    mcfg["rnn_config"]["dec_vocab_size"] = 32
+    mcfg["dropout"] = {"embed": 0, "rnn": 0, "out": 0}
+    edit_mcfg(mcfg)
+    params, state = seq2seq.init_model(jax.random.PRNGKey(seed), mcfg)
+    rng = np.random.RandomState(seed)
+    params = _perturb(params, rng)
+    state = _perturb(state, rng, 0.1)
+    state["cnn_bn"] = [
+        {"bn_mean": s["bn_mean"], "bn_var": np.abs(s["bn_var"]) + 0.5}
+        for s in state["cnn_bn"]]
+    state["enc_proj_bn"] = [
+        {"bn_mean": s["bn_mean"], "bn_var": np.abs(s["bn_var"]) + 0.5}
+        for s in state["enc_proj_bn"]]
+    import jax.numpy as jnp
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    state = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), state)
+
+    B, T, U = 3, 24, 9
+    if text_mode:
+        X = np.zeros((B, T), np.int32)
+        for b in range(B):
+            X[b, : 8 + b] = rng.randint(4, 32, 8 + b)
+    else:
+        X = rng.randn(B, T, 13).astype(np.float32)
+    y = np.zeros((B, U), np.int32)
+    for b, n_words in enumerate([6, 4, 7]):
+        y[b, 0] = SYMBOLS.GO_ID
+        y[b, 1:1 + n_words] = rng.randint(4, 32, n_words)
+        y[b, 1 + n_words] = SYMBOLS.EOS_ID
+    return mcfg, params, state, X, y
+
+
+def _oracle_agree(mcfg, params, state, X, y, train=False):
+    got, _ = seq2seq.forward_loss(
+        params, state, mcfg, X, y, jax.random.PRNGKey(0), train=train,
+        teach_ratio=1.0)
+    oracle = ReferenceOracle(params, state, mcfg)
+    want = oracle.forward_loss(X, y, teach_ratio=1.0, train=train)
+    assert abs(float(got) - want) / abs(want) <= 1e-5, (
+        f"{float(got)} vs oracle {want}")
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_linear_proj_matches_oracle(train):
+    """The linear_proj encoder variant (per-layer biLSTM + Linear+BN+
+    ReLU between layers, reference: seq2seq.py:244-291 with the
+    documented reversal correction) agrees with the oracle in both BN
+    modes."""
+    def edit(m):
+        m["rnn_config"]["linear_proj"] = True
+    mcfg, params, state, X, y = _setup_variant(edit)
+    _oracle_agree(mcfg, params, state, X, y, train=train)
+
+
+def test_multi_attention_matches_oracle():
+    """n_attn=2: duplicated attention heads with separate Wa and
+    concatenated context vectors (reference: seq2seq.py:107-122,
+    381-383)."""
+    def edit(m):
+        m["rnn_config"]["n_attn"] = 2
+    mcfg, params, state, X, y = _setup_variant(edit)
+    _oracle_agree(mcfg, params, state, X, y)
+
+
+def test_text_encoder_mode_matches_oracle():
+    """Text-encoder mode: source-token embedding feeding the same
+    CNN+RNN stack (reference: enc_dec.py:162-164, 517-525)."""
+    def edit(m):
+        m["rnn_config"]["enc_vocab_size"] = 32
+        m["rnn_config"]["embedding_units"] = 8
+        m["cnn_config"]["cnn_layers"] = [
+            {"in_channels": None, "out_channels": 8, "ksize": [3, 8],
+             "stride": [1, 8], "pad": [1, 0]},
+            {"in_channels": None, "out_channels": 16, "ksize": [3, 1],
+             "stride": [2, 1], "pad": [1, 0]},
+        ]
+    mcfg, params, state, X, y = _setup_variant(edit, text_mode=True)
+    _oracle_agree(mcfg, params, state, X, y)
+
+
 def test_rev_quirk_flag_changes_computation():
     mcfg, params, state, X, y = _setup(rev_quirk=False)
     mcfg_q = copy.deepcopy(mcfg)
