@@ -25,6 +25,14 @@ import sys
 import numpy as np
 
 
+def cmd_extract_segments(args):
+    from ast_tpu.data.wav_loader import extract_segments
+    n = extract_segments(args.segments, args.audio_dir, args.out_dir,
+                         channel_map=args.channel_map, rate=args.rate,
+                         allow_missing=args.allow_missing)
+    print(f"wrote {n} utterance audio files to {args.out_dir}")
+
+
 def cmd_ark_to_conv(args):
     from ast_tpu.data.kaldi_ark import ark_to_conversation_pickles
     n = ark_to_conversation_pickles(args.ark, args.out_dir)
@@ -216,6 +224,25 @@ def main(argv=None):
                    help="write what exists even if some utterances "
                         "have missing segments")
     p.set_defaults(fn=cmd_merge_segments)
+
+    p = sub.add_parser(
+        "extract-segments",
+        help="slice conversation audio into per-utterance .npy by a "
+             "Kaldi segments table (audio-domain extract-segments)")
+    p.add_argument("--segments", required=True,
+                   help="Kaldi segments file: utt reco start end")
+    p.add_argument("--audio_dir", required=True,
+                   help="directory of <reco>.sph|.wav|.npy")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--channel-map", default=None,
+                   help="file of 'reco channel' lines (0-based; "
+                        "Fisher A/B sides are 0/1); unmapped recos "
+                        "are channel-averaged")
+    p.add_argument("--rate", type=int, default=8000)
+    p.add_argument("--allow-missing", action="store_true",
+                   help="skip recordings with no audio file instead "
+                        "of failing")
+    p.set_defaults(fn=cmd_extract_segments)
 
     p = sub.add_parser("mfcc")
     p.add_argument("audio_dir")

@@ -126,6 +126,82 @@ def read_sph(path, channel=None):
     return np.ascontiguousarray(x, dtype=np.float32)
 
 
+def extract_segments(segments_path, audio_dir, out_dir,
+                     channel_map=None, rate=8000, allow_missing=False):
+    """Slice conversation-level audio into per-utterance files by a
+    Kaldi segments table — the audio-domain `extract-segments`
+    equivalent (reference pipeline: fisher/kaldi/train_all.sh:32-44 and
+    create_mfccs.sh:36-44 do this with Kaldi binaries before feature
+    extraction; this closes the last manual Kaldi step in
+    raw-LDC-tape -> wav-mode training).
+
+    ``segments_path``: Kaldi format, one `utt reco start_sec end_sec`
+    per line.  ``audio_dir``: contains `<reco>.sph|.wav|.npy`.
+    ``channel_map``: optional {reco: channel} (or a path to a file of
+    `reco channel` lines) — Fisher SPHERE files are 2-channel, one per
+    speaker; unmapped recos are channel-averaged.  Writes
+    `<out_dir>/<utt>.npy` float32 mono audio at ``rate``.
+    Returns the number of utterances written.
+    """
+    if isinstance(channel_map, str):
+        cmap = {}
+        with open(channel_map) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    cmap[parts[0]] = int(parts[1])
+        channel_map = cmap
+    channel_map = channel_map or {}
+
+    by_reco = {}
+    with open(segments_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 4:
+                continue
+            utt, reco, start, end = parts[:4]
+            by_reco.setdefault(reco, []).append(
+                (utt, float(start), float(end)))
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_written = 0
+    for reco, segs in sorted(by_reco.items()):
+        chan = channel_map.get(reco)
+        path = None
+        for ext in (".sph", ".wav", ".npy"):
+            cand = os.path.join(audio_dir, reco + ext)
+            if os.path.exists(cand):
+                path = cand
+                break
+        if path is None:
+            if allow_missing:
+                print(f"extract-segments: no audio for reco {reco} "
+                      f"({len(segs)} segments skipped)", flush=True)
+                continue
+            raise FileNotFoundError(
+                f"no audio for recording {reco!r} in {audio_dir} "
+                f"(.sph/.wav/.npy); pass --allow-missing to skip")
+        if path.endswith(".sph"):
+            x = read_sph(path, channel=chan)
+        elif path.endswith(".wav"):
+            x = read_wav(path)
+        else:
+            x = np.load(path).astype(np.float32).reshape(-1)
+            if x.ndim == 1 and chan is not None:
+                pass  # .npy assumed already mono
+        for utt, start, end in segs:
+            s0 = max(0, int(round(start * rate)))
+            s1 = min(len(x), int(round(end * rate)))
+            if s1 <= s0:
+                print(f"extract-segments: empty segment {utt} "
+                      f"[{start:.2f}, {end:.2f}] in {reco}", flush=True)
+                continue
+            np.save(os.path.join(out_dir, f"{utt}.npy"),
+                    np.ascontiguousarray(x[s0:s1], dtype=np.float32))
+            n_written += 1
+    return n_written
+
+
 def samples_for_frames(cfg: MfccConfig, t_frames: int) -> int:
     """Audio samples needed to produce exactly ``t_frames`` frames."""
     if t_frames <= 0:

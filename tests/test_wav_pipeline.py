@@ -238,3 +238,70 @@ def test_wav_beam_decode(wav_exp):
         ids, score = hyps[0]
         assert ids[0] == 1  # GO
         assert score <= 0
+
+
+def test_extract_segments_two_channel_sph(tmp_path):
+    """Audio-domain extract-segments: slice a 2-channel conversation
+    SPHERE by a Kaldi segments table with per-recording channel
+    selection (the raw-LDC -> wav-mode step the reference delegates to
+    Kaldi's extract-segments, train_all.sh:32-44)."""
+    from ast_tpu.data.wav_loader import extract_segments
+
+    rate = 8000
+    n = 4 * rate  # 4 s conversation
+    chan_a = (np.arange(n) % 1000).astype("<i2")
+    chan_b = (-(np.arange(n) % 700)).astype("<i2")
+    interleaved = np.empty(2 * n, dtype="<i2")
+    interleaved[0::2] = chan_a
+    interleaved[1::2] = chan_b
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    _write_sph(str(audio_dir / "conv1.sph"), interleaved.tobytes(),
+               channels=2, n_samples=n)
+
+    seg = tmp_path / "segments"
+    seg.write_text(
+        "conv1-A-000 conv1 0.5 1.25\n"
+        "conv1-A-001 conv1 2.0 3.5\n")
+    cmap = tmp_path / "channels"
+    cmap.write_text("conv1 0\n")
+
+    out = tmp_path / "out"
+    n_written = extract_segments(str(seg), str(audio_dir), str(out),
+                                 channel_map=str(cmap), rate=rate)
+    assert n_written == 2
+
+    a = np.load(out / "conv1-A-000.npy")
+    assert a.shape == (int(0.75 * rate),)
+    want = chan_a[int(0.5 * rate):int(1.25 * rate)].astype(
+        np.float32) / 32768.0
+    np.testing.assert_allclose(a, want, atol=1e-6)
+
+    b = np.load(out / "conv1-A-001.npy")
+    assert b.shape == (int(1.5 * rate),)
+
+
+def test_extract_segments_cli_and_missing(tmp_path):
+    from ast_tpu.cli.prep_data import main as prep_main
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    x = np.sin(np.linspace(0, 30, 16000)).astype(np.float32)
+    np.save(audio_dir / "reco1.npy", x)
+
+    seg = tmp_path / "segments"
+    seg.write_text("reco1-000 reco1 0.0 1.0\n"
+                   "gone-000 gone 0.0 1.0\n")
+    out = tmp_path / "out"
+
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        prep_main(["extract-segments", "--segments", str(seg),
+                   "--audio_dir", str(audio_dir), "--out_dir", str(out)])
+
+    prep_main(["extract-segments", "--segments", str(seg),
+               "--audio_dir", str(audio_dir), "--out_dir", str(out),
+               "--allow-missing"])
+    got = np.load(out / "reco1-000.npy")
+    np.testing.assert_allclose(got, x[:8000], atol=1e-7)
