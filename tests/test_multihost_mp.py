@@ -46,9 +46,28 @@ utts = ",".join(sorted(u for u, _ in preds))
 
 beams = nn.decode_beam_set("tiny_dev", N=2, K=2)
 assert all(len(hyps) == 2 for hyps in beams.values())
+# content digest: every host must materialize IDENTICAL full-split
+# beams (hyp ids + scores), not just the same count
+bh = hashlib.sha256()
+for utt in sorted(beams):
+    for ids, score in beams[utt]:
+        bh.update(f"{utt}:{ids}:{score:.4f};".encode())
+
+# preemption agreement: SIGTERM lands on host 1 only; the OR-allgather
+# must stop BOTH hosts at the same consumed count (a host-local stop
+# would deadlock the other in the next dispatch's collectives)
+from ast_tpu.train.trainer import PreemptedError
+if proc_id == 1:
+    nn.request_preempt()
+try:
+    nn.train_epoch("tiny_train", epoch=2)
+    stop = "none"
+except PreemptedError as e:
+    stop = str(e).split()[-2]
 
 print(f"RESULT {proc_id} {loss:.6f} {h.hexdigest()} {len(preds)} "
-      f"{hashlib.sha256(utts.encode()).hexdigest()} {len(beams)}",
+      f"{hashlib.sha256(utts.encode()).hexdigest()} {len(beams)} "
+      f"{bh.hexdigest()} {stop}",
       flush=True)
 """
 
@@ -67,7 +86,8 @@ def test_two_process_train_and_predict(tmp_path):
     # hosts, composing multi-step dispatch with the SPMD multi-host mesh
     exp = make_tiny_experiment(str(tmp_path), n_train=8, n_dev=6,
                                batch_size=4,
-                               extras={"steps_per_dispatch": 2})
+                               extras={"steps_per_dispatch": 2,
+                                       "preempt_sync_steps": 1})
     port = _free_port()
 
     env = dict(os.environ)
@@ -91,9 +111,9 @@ def test_two_process_train_and_predict(tmp_path):
         for line in out.splitlines():
             if line.startswith("RESULT "):
                 (_, pid, loss, digest, n_preds, utt_hash,
-                 n_beams) = line.split()
+                 n_beams, beam_hash, stop) = line.split()
                 results[int(pid)] = (loss, digest, int(n_preds), utt_hash,
-                                     int(n_beams))
+                                     int(n_beams), beam_hash, stop)
     assert set(results) == {0, 1}, f"missing RESULT lines:\n{outs}"
 
     r0, r1 = results[0], results[1]
@@ -102,3 +122,7 @@ def test_two_process_train_and_predict(tmp_path):
     assert r0[2] == r1[2] == 6, "predict() must return the full dev split"
     assert r0[3] == r1[3], "prediction utt coverage differs"
     assert r0[4] == r1[4] == 6, "beam decode must cover the full split"
+    assert r0[5] == r1[5], "beam hypotheses/scores differ between hosts"
+    assert r0[6] == r1[6] != "none", (
+        "hosts must agree on the preemption stop step "
+        f"(got {r0[6]} vs {r1[6]})")
