@@ -47,10 +47,13 @@ class Prefetcher:
     def __init__(self, gen, prepare, depth=2):
         self.q = queue.Queue(maxsize=depth)
         self._sentinel = object()
+        self._closed = False
 
         def worker():
             try:
                 for item in gen:
+                    if self._closed:
+                        return
                     self.q.put(prepare(item))
                 self.q.put(self._sentinel)
             except BaseException as e:  # propagate to the consumer
@@ -60,13 +63,31 @@ class Prefetcher:
         self.t.start()
 
     def __iter__(self):
+        try:
+            while True:
+                item = self.q.get()
+                if item is self._sentinel:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer abandoned the stream (preemption, exception, or
+            # early break): unpark the worker so a long-lived embedding
+            # of NN doesn't accumulate a stuck thread + an unconsumed
+            # generator per aborted epoch
+            self.close()
+
+    def close(self):
+        """Drain the queue and let the worker exit at its next put."""
+        self._closed = True
         while True:
-            item = self.q.get()
-            if item is self._sentinel:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
+        if self.t.is_alive():
+            self.t.join(timeout=1.0)
 
 
 class PreemptedError(RuntimeError):

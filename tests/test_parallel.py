@@ -36,9 +36,13 @@ def test_make_mesh_shapes():
 
 
 def test_dp_grads_match_single_device():
-    """The core DP correctness oracle: gradients computed on an 8-way
-    sharded batch must equal single-device gradients (SURVEY §4)."""
+    """The core DP correctness oracle: TRAIN-mode gradients (dropout,
+    speech noise, scheduled sampling all on — jax.random is
+    partitionable threefry, so sharding cannot change the stream)
+    computed on an 8-way sharded batch must equal single-device
+    gradients (SURVEY §4)."""
     mcfg, params, state = _model()
+    mcfg = dict(mcfg, dropout={"embed": 0.1, "rnn": 0.1, "out": 0})
     B = 16
     X = np.array(jax.random.normal(jax.random.PRNGKey(1), (B, 80, 13)))
     y = np.array(jax.random.randint(
@@ -47,10 +51,10 @@ def test_dp_grads_match_single_device():
     y[:, -1] = SYMBOLS.EOS_ID
 
     def loss_fn(p, X, y):
-        # train=False: avoids RNG-placement differences; grads still flow
         return seq2seq.forward_loss(p, state, mcfg, jnp.asarray(X),
                                     jnp.asarray(y), jax.random.PRNGKey(0),
-                                    train=False, n_real=B)[0]
+                                    train=True, n_real=B,
+                                    teach_ratio=0.8, add_noise=0.25)[0]
 
     g_single = jax.jit(jax.grad(loss_fn))(params, X, y)
 
