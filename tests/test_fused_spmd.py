@@ -125,6 +125,28 @@ def test_fused_train_step_dp_tp_mesh(tmp_path):
             err_msg=f"fused dpxtp-vs-single param mismatch at {pa}")
 
 
+def test_fused_greedy_mesh_matches_single_device(tmp_path):
+    """Fused greedy inference under the mesh (shard_map over 'data')
+    returns the same tokens as fused single-device — the dev-decode
+    path every training epoch runs."""
+    nn1, nn2 = _fused_pair(tmp_path, model_axis=1)
+
+    gen = nn1.data_loader.get_batch(8, "tiny_dev", train=False,
+                                    labels=False)
+    batch = nn1._device_batch(next(iter(gen)), labels=False)
+    gen2 = nn2.data_loader.get_batch(8, "tiny_dev", train=False,
+                                     labels=False)
+    batch2 = nn2._device_batch(next(iter(gen2)), labels=False)
+
+    from ast_tpu.parallel.mesh import replicate
+    p1 = nn1._predict_step(nn1.params, nn1.state, batch["X"])
+    p2 = nn2._predict_step(replicate(
+        jax.tree.map(jnp.array, nn1.params), nn2.mesh),
+        replicate(jax.tree.map(jnp.array, nn1.state), nn2.mesh),
+        batch2["X"])
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
 def test_encoder_chunk_dropout_bit_invariant():
     """Row-offset dropout hashing: chunked fused encoder == full-batch
     fused encoder BIT-exactly even with dropout on (the masks hash
