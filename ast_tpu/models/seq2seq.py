@@ -807,6 +807,8 @@ def _fused_infer_chunk(mcfg, enc_states, compute_dtype, enc_mask, mesh):
     rnn = mcfg["rnn_config"]
     if not rnn.get("fused_decoder", False) or enc_mask is not None:
         return 0
+    if not rnn.get("fused_infer", True):
+        return 0  # explicit off-switch for the inference kernels only
     if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
             or rnn.get("ln", False)
             or rnn.get("attn_block_size", 0)):

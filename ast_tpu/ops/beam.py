@@ -55,6 +55,8 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
         rnn = mcfg["rnn_config"]
         if return_attn or not rnn.get("fused_decoder", False):
             return 0
+        if not rnn.get("fused_infer", True):
+            return 0  # explicit off-switch for the inference kernels
         if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
                 or rnn.get("ln", False)
                 or rnn.get("attn_block_size", 0)):

@@ -46,6 +46,29 @@ from ast_tpu.symbols import SYMBOLS
 VMEM_BUDGET = 40 * 1024 * 1024
 
 
+def _dot_x(a, w):
+    """VALUE-EXACT f32 contraction (dim 1 of a with dim 0 of w).
+
+    The beam kernel routes exact integers (token ids up to Vp) and
+    scores through matmuls (iota-mask gathers/scatters).  A plain f32
+    Mosaic dot may be demoted to a single bf16 pass on TPU
+    (xla_allow_excess_precision), which quantizes token ids >= 256 and
+    puts scores on a 2^-8 grid — Precision.HIGHEST forces the full
+    multi-pass f32 product."""
+    return jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _dot_c0_x(a, b):
+    """Value-exact contraction over dim 0 of both: (N,M)x(N,K)->(M,K)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def fused_infer_fits(L, B, H, E, A, T, Vp, weight_bytes=2):
     """VMEM feasibility for the inference kernels (weights + encoder
     states + small per-step streams; no residuals)."""
@@ -333,7 +356,8 @@ def _beam_kernel(L, Bc, N, K, H, E, A, T, Vp,
 
         def to_cand(col, E):
             # (R,1) flat column -> (Bc, NK): C[b, m] = col[b*N + m//K]
-            return _dot(mask_b, col * E)
+            # (value-exact: carries scores and raw token ids)
+            return _dot_x(mask_b, col * E)
 
         S_C = to_cand(score_s[...], E_n)
         F_C = to_cand(fin_s[...], E_n)
@@ -380,21 +404,24 @@ def _beam_kernel(L, Bc, N, K, H, E, A, T, Vp,
             eos_j = (tok_j == float(SYMBOLS.EOS_ID)).astype(f32)
             PO = _dot(SO, Epn)                            # (Bc, N)
             par_j = jnp.sum(PO * n_lane_f, axis=-1, keepdims=True)
-            # scatter to flat slot r = b*N + j
+            # scatter to flat slot r = b*N + j (value-exact dots)
             F_j = ((r_cols == b_rows * N + j)).astype(f32)  # (Bc, R)
-            score_new += _dot_c0(F_j, m)                  # (R, 1)
-            tok_new += _dot_c0(F_j, tok_j)
-            par_new += _dot_c0(F_j, par_j)
-            valid_new += _dot_c0(F_j, 1.0 - pfin_j)
-            fin_new += _dot_c0(F_j, jnp.maximum(pfin_j, eos_j))
+            score_new += _dot_c0_x(F_j, m)                # (R, 1)
+            tok_new += _dot_c0_x(F_j, tok_j)
+            par_new += _dot_c0_x(F_j, par_j)
+            valid_new += _dot_c0_x(F_j, 1.0 - pfin_j)
+            fin_new += _dot_c0_x(F_j, jnp.maximum(pfin_j, eos_j))
+            # PO/GG carry only exact 0/1 one-hots — fast dots are safe
             PO_big = _dot(PO, En_flat) * mask_b           # (Bc, R)
             GG = GG + _dot_c0(F_j, PO_big)                # (R, R)
 
         # ---- gather parent states + set next input one-hot ----
+        # (value-exact: a demoted gather would re-quantize the f32
+        # LSTM/attention state to bf16 every step)
         for l in range(L):
-            h_s[l] = _dot(GG, h_s[l])
-            c_s[l] = _dot(GG, c_s[l])
-        ht_s[...] = _dot(GG, ht)
+            h_s[l] = _dot_x(GG, h_s[l])
+            c_s[l] = _dot_x(GG, c_s[l])
+        ht_s[...] = _dot_x(GG, ht)
         oh_s[...] = (lane_vf == tok_new).astype(f32)
         score_s[...] = score_new
         fin_s[...] = fin_new
