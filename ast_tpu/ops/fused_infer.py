@@ -69,6 +69,28 @@ def _dot_c0_x(a, b):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _gather_1hot(G, X):
+    """Value-exact one-hot gather ``G @ X`` for f32 X in 3 MXU passes.
+
+    G rows are exact 0/1 one-hots and X splits as p0+p1+p2 with every
+    part bf16-representable, so each demoted-to-bf16 dot is exact
+    (0/1 x bf16 part, f32 accumulation over a single nonzero) and the
+    sum reconstructs the gathered f32 rows — same result as
+    Precision.HIGHEST at half its 6-pass cost.  Used for the (R, R)
+    parent-state gathers, the kernel's largest exact contractions.
+
+    Exactness limit: residual parts falling into bf16's SUBNORMAL
+    range (|X| below ~1e-33) round in their last bits — an absolute
+    error bounded by bf16's smallest subnormal step (~1e-40), not
+    reachable by LSTM states or log-probs
+    (tests/test_fused_infer.py::test_gather_1hot_split...)."""
+    p0 = X.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = X - p0
+    p1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    p2 = r1 - p1
+    return (_dot(G, p0) + _dot(G, p1)) + _dot(G, p2)
+
+
 def fused_infer_fits(L, B, H, E, A, T, Vp, weight_bytes=2):
     """VMEM feasibility for the inference kernels (weights + encoder
     states + small per-step streams; no residuals)."""
@@ -419,9 +441,9 @@ def _beam_kernel(L, Bc, N, K, H, E, A, T, Vp,
         # (value-exact: a demoted gather would re-quantize the f32
         # LSTM/attention state to bf16 every step)
         for l in range(L):
-            h_s[l] = _dot_x(GG, h_s[l])
-            c_s[l] = _dot_x(GG, c_s[l])
-        ht_s[...] = _dot_x(GG, ht)
+            h_s[l] = _gather_1hot(GG, h_s[l])
+            c_s[l] = _gather_1hot(GG, c_s[l])
+        ht_s[...] = _gather_1hot(GG, ht)
         oh_s[...] = (lane_vf == tok_new).astype(f32)
         score_s[...] = score_new
         fin_s[...] = fin_new

@@ -81,3 +81,43 @@ def test_fused_greedy_eos_padding(model):
     assert all(len(e) for e in eos_steps)
     done = max(int(e[0]) for e in eos_steps)
     assert (arr[:, done + 1:] == SYMBOLS.PAD_ID).all()
+
+
+def test_gather_1hot_split_reconstructs_f32_exactly():
+    """The 3-pass bf16 split behind fused_infer._gather_1hot is only
+    exact if p0 + p1 + p2 == X bit-for-bit (each part bf16-representable
+    so the demoted TPU dot is lossless).  Pin that split property on
+    adversarial f32 values: full 24-bit mantissas, tiny/huge exponents,
+    negatives, exact bf16 values, and rounding-edge patterns.
+
+    Known limit (documented in _gather_1hot): residual parts that fall
+    into bf16's subnormal range (|X| below ~1e-33) round in their last
+    bits — an absolute error bounded by bf16's smallest subnormal step
+    (~1e-40), unreachable by LSTM states/log-probs; the normal-range
+    sweep here must be bit-exact."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.standard_normal(4096).astype(np.float32),
+        rng.standard_normal(1024).astype(np.float32) * 1e-25,
+        rng.standard_normal(1024).astype(np.float32) * 1e30,
+        # all-ones mantissa patterns (worst case for carry propagation)
+        np.float32(np.ldexp(0x00FFFFFF, -23)) * rng.choice(
+            [-1.0, 1.0], 1024).astype(np.float32),
+        np.float32([0.0, -0.0, 1.0, -1.0, 2.0 ** -126, 3.0, 1.5,
+                    np.float32(1) + np.float32(2) ** -23]),
+    ])
+    X = jnp.asarray(vals)
+    p0 = X.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = X - p0
+    p1 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    p2 = r1 - p1
+    # each part must be bf16-representable (lossless under demotion)
+    for p in (p0, p1, p2):
+        np.testing.assert_array_equal(
+            np.asarray(p), np.asarray(p.astype(jnp.bfloat16)
+                                      .astype(jnp.float32)))
+    # and the (ordered) sum must reconstruct X bit-for-bit
+    recon = np.asarray((p0 + p1) + p2)
+    np.testing.assert_array_equal(recon, np.asarray(X))
