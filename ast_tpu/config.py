@@ -54,6 +54,11 @@ _EXTRAS_DEFAULTS = {
     # steps, amortizes per-dispatch host overhead; the dataloader groups
     # the shuffled order into same-bucket runs deterministically
     "steps_per_dispatch": 1,
+    # pad each bucket's last partial batch to a repeated-half of the
+    # bucket batch size instead of the full size (recovers the ~8%
+    # real-vs-padded-slot throughput gap; a few extra cached compile
+    # shapes).  Not in the reference: Chainer ran the true ragged tail.
+    "shrink_tail_batches": True,
     # rematerialize the forward pass in the backward (jax.checkpoint):
     # ~1 extra forward of FLOPs buys not holding activations in HBM —
     # for long-utterance / very large-batch configs

@@ -250,11 +250,12 @@ class WavDataLoader(FisherDataLoader):
 
     def get_batch(self, batch_size, set_key, train, labels=False,
                   pad_batch=True, curriculum=False, epoch=None,
-                  group_runs=1):
+                  group_runs=1, tail_shrink=0):
         D = self.mfcc_cfg.n_ceps
         for batch in super().get_batch(batch_size, set_key, train, labels,
                                        pad_batch, curriculum, epoch,
-                                       group_runs, _skip_speech=True):
+                                       group_runs, tail_shrink,
+                                       _skip_speech=True):
             b = batch["bucket"]
             num_b = self.buckets[set_key]["num_b"]
             width_b = self.buckets[set_key]["width_b"]

@@ -15,6 +15,7 @@ TPU-first internals:
 - greedy eval and beam decode are fully batched on device
 """
 
+import math
 import os
 import queue
 import threading
@@ -102,7 +103,9 @@ def _group_stream(gen, G):
     runs the common case).  Yields lists of 1..G host batches."""
     buf = []
     for b in gen:
-        if buf and (b["bucket"] != buf[0]["bucket"] or len(buf) == G):
+        if buf and (b["bucket"] != buf[0]["bucket"]
+                    or b.get("rows") != buf[0].get("rows")
+                    or len(buf) == G):
             yield buf
             buf = []
         buf.append(b)
@@ -153,7 +156,6 @@ class NN:
         # so the divisibility constraint is their gcd.
         bs = tcfg["batch_size"]
         if isinstance(bs, dict):
-            import math
             sizes = [int(bs[k]) for k in ("max", "med", "min") if k in bs]
             bs = math.gcd(*sizes) if len(sizes) > 1 else sizes[0]
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -222,6 +224,16 @@ class NN:
         # RNG keys), amortizes per-dispatch host overhead
         self.steps_per_dispatch = max(
             1, int(tcfg["extras"].get("steps_per_dispatch", 1)))
+        # tail batches pad to a repeated-half of the bucket batch size
+        # instead of the full size (dataloader.tail_rows): min_rows keeps
+        # every tail shape 8-row aligned (fused kernels) and divisible by
+        # the mesh data axis
+        if tcfg["extras"].get("shrink_tail_batches", True):
+            shards = self.mesh.shape.get("data", 1) \
+                if self.mesh is not None else 1
+            self.tail_shrink = math.lcm(8, shards)
+        else:
+            self.tail_shrink = 0
         self._train_multi_step = (
             self._make_train_step(multi=True)
             if self.steps_per_dispatch > 1 else None)
@@ -437,7 +449,7 @@ class NN:
         gen = self.data_loader.get_batch(
             batch_size, set_key, train=True, labels=True,
             curriculum=tcfg.get("curriculum", False), epoch=epoch,
-            group_runs=G)
+            group_runs=G, tail_shrink=self.tail_shrink)
         if skip:
             import itertools
             gen = itertools.islice(gen, skip, None)
@@ -592,7 +604,8 @@ class NN:
 
         losses, sizes = [], []
         gen = self.data_loader.get_batch(
-            self.cfg.train["batch_size"], set_key, train=False, labels=True)
+            self.cfg.train["batch_size"], set_key, train=False, labels=True,
+            tail_shrink=self.tail_shrink)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, True))
         for batch in prefetch:
             losses.append(loss_step(self.params, self.state, batch["X"],
@@ -612,7 +625,8 @@ class NN:
         preds = []
         gen = self.data_loader.get_batch(
             batch_size, set_key, train=False, labels=False,
-            epoch=0 if jax.process_count() > 1 else None)
+            epoch=0 if jax.process_count() > 1 else None,
+            tail_shrink=self.tail_shrink)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
         for batch in prefetch:
             p = self._predict_step(self.params, self.state, batch["X"])
@@ -634,7 +648,8 @@ class NN:
         stop_limit = self.cfg.train["data"]["max_pred"]
         results = {}
         gen = self.data_loader.get_batch(
-            batch_size, set_key, train=False, labels=False)
+            batch_size, set_key, train=False, labels=False,
+            tail_shrink=self.tail_shrink)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
         decode = beam_ops.make_beam_decoder(
             self.mcfg, N=N, K=K, stop_limit=stop_limit,

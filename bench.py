@@ -257,14 +257,16 @@ def bench_epoch(B=32, G=4, compute_dtype=jnp.bfloat16):
     opt, opt_state = build_optimizer(opt_cfg, params)
     base = jax.random.PRNGKey(0)
 
-    def make_step(T, U):
-        X, y = _batch(B, T, U)
-        Xs = jnp.broadcast_to(X, (G,) + X.shape)
-        ys = jnp.broadcast_to(y, (G,) + y.shape)
+    def make_step(T, U, rows=None, g=None):
+        rows = B if rows is None else rows
+        g = G if g is None else g
+        X, y = _batch(rows, T, U)
+        Xs = jnp.broadcast_to(X, (g,) + X.shape)
+        ys = jnp.broadcast_to(y, (g,) + y.shape)
 
         @jax.jit
         def multi(params, state, opt_state, i):
-            keys = jax.random.split(jax.random.fold_in(base, i), G)
+            keys = jax.random.split(jax.random.fold_in(base, i), g)
 
             def body(carry, inp):
                 p, s, o = carry
@@ -288,18 +290,30 @@ def bench_epoch(B=32, G=4, compute_dtype=jnp.bfloat16):
 
         return multi
 
-    plan = []  # (step_fn, n_dispatches) per bucket
+    # model the trainer's ACTUAL dispatch plan per bucket: full batches
+    # ride G-step multi dispatches, the remainder run as singles, and the
+    # last partial batch pads only to dataloader.tail_rows (the
+    # shrink_tail_batches policy) instead of the full B
+    from ast_tpu.data.dataloader import FisherDataLoader
+    plan = []  # (step_fn, n_dispatches) per bucket piece
     total_utts = 0
     total_slots = 0
     for b, n, T, U in EPOCH_BUCKETS:
-        n_steps = -(-n // B)
-        n_disp = -(-n_steps // G)
-        plan.append((make_step(T, U), n_disp))
+        n_full, n_tail = divmod(n, B)
+        pieces = []  # (rows, g, n_disp)
+        if n_full // G:
+            pieces.append((B, G, n_full // G))
+        if n_full % G:
+            pieces.append((B, 1, n_full % G))
+        if n_tail:
+            pieces.append((FisherDataLoader.tail_rows(n_tail, B, 8), 1, 1))
+        for rows, g, n_disp in pieces:
+            plan.append((make_step(T, U, rows, g), n_disp))
+            total_slots += n_disp * g * rows
         # headline counts REAL utterances (the trainer's accounting:
         # sizes = len(batch['utts'])); the device executes the padded
         # slot count, reported separately
         total_utts += n
-        total_slots += n_disp * G * B
 
     def one_epoch(p, s, o):
         t0 = time.perf_counter()

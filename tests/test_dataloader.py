@@ -82,3 +82,43 @@ def test_get_hyps_bpe_merge(tiny_exp):
         "w2i": {}, "i2w": {4: b"hel@@", 5: b"lo", 6: b"there"}}
     hyps = dl.get_hyps([("u0", [4, 5, 6])])
     assert hyps["u0"] == ["hello", "there"]
+
+
+def test_tail_rows_policy():
+    """Tail batches pad to the smallest repeated-half of the bucket
+    batch size that holds them, constrained to min_rows multiples."""
+    f = FisherDataLoader.tail_rows
+    assert f(5, 128, 8) == 8
+    assert f(37, 128, 8) == 64
+    assert f(65, 128, 8) == 128
+    assert f(8, 128, 8) == 8
+    assert f(5, 128, 32) == 32          # mesh data axis floor
+    assert f(5, 96, 8) == 24            # halves stop at non-multiple-of-8
+    assert f(3, 8, 8) == 8
+
+
+def test_tail_shrink_batches(tiny_exp):
+    """With tail_shrink, only each bucket's last partial batch shrinks;
+    real rows / utts / loss accounting are unchanged."""
+    cfg, dl = _loader(tiny_exp)
+    plain = list(dl.get_batch(4, "tiny_train", train=True, labels=True,
+                              epoch=0))
+    cfg2, dl2 = _loader(tiny_exp)
+    shrunk = list(dl2.get_batch(4, "tiny_train", train=True, labels=True,
+                                epoch=0, tail_shrink=2))
+    assert [b["utts"] for b in plain] == [b["utts"] for b in shrunk]
+    saw_shrunk = False
+    for p, s in zip(plain, shrunk):
+        assert p["n_real"] == s["n_real"]
+        assert p["X"].shape[0] == 4
+        expect = FisherDataLoader.tail_rows(s["n_real"], 4, 2) \
+            if s["n_real"] < 4 else 4
+        assert s["X"].shape[0] == expect == s["rows"]
+        assert s["y"].shape[0] == expect
+        saw_shrunk |= expect < 4
+        # shrunk batch contents match the full-pad batch's real rows
+        np.testing.assert_array_equal(p["X"][:p["n_real"]],
+                                      s["X"][:s["n_real"]])
+        np.testing.assert_array_equal(p["y"][:p["n_real"]],
+                                      s["y"][:s["n_real"]])
+    assert saw_shrunk, "fixture produced no partial tail batch"
