@@ -31,13 +31,17 @@ from ast_tpu.data.dataloader import FisherDataLoader
 from ast_tpu.ops.fbank import MfccConfig, num_frames
 
 
-def read_wav(path):
-    """PCM wav -> float32 mono in [-1, 1] (stdlib only)."""
+def read_wav(path, channel=None, with_rate=False):
+    """PCM wav -> float32 mono in [-1, 1] (stdlib only).
+
+    ``channel``: 0-based channel to keep; None averages channels.
+    ``with_rate=True`` additionally returns the file's sample rate."""
     with wave.open(path, "rb") as w:
         n = w.getnframes()
         raw = w.readframes(n)
         width = w.getsampwidth()
         channels = w.getnchannels()
+        rate = w.getframerate()
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:
@@ -46,8 +50,10 @@ def read_wav(path):
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
         x = (x - 128.0) / 128.0
     if channels > 1:
-        x = x.reshape(-1, channels).mean(axis=1)
-    return x
+        x = x.reshape(-1, channels)
+        x = x[:, channel] if channel is not None else x.mean(axis=1)
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    return (x, rate) if with_rate else x
 
 
 def _ulaw_to_linear(u8):
@@ -60,7 +66,7 @@ def _ulaw_to_linear(u8):
     return np.where(sign, -magnitude, magnitude).astype(np.int16)
 
 
-def read_sph(path, channel=None):
+def read_sph(path, channel=None, with_rate=False):
     """NIST SPHERE audio -> float32 mono in [-1, 1] (stdlib only).
 
     The LDC Fisher corpus ships SPHERE files that the reference pipeline
@@ -70,7 +76,8 @@ def read_sph(path, channel=None):
     is NOT supported — decompress offline with sph2pipe first.
 
     ``channel``: 0-based channel to keep (Fisher is 2-channel, one per
-    speaker); None averages channels.
+    speaker); None averages channels.  ``with_rate=True`` additionally
+    returns the header's sample_rate.
     """
     with open(path, "rb") as f:
         magic = f.readline()
@@ -123,7 +130,10 @@ def read_sph(path, channel=None):
     if channels > 1:
         x = x.reshape(-1, channels)
         x = x[:, channel] if channel is not None else x.mean(axis=1)
-    return np.ascontiguousarray(x, dtype=np.float32)
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if with_rate:
+        return x, int(fields.get("sample_rate", 8000))
+    return x
 
 
 def extract_segments(segments_path, audio_dir, out_dir,
@@ -139,9 +149,11 @@ def extract_segments(segments_path, audio_dir, out_dir,
     per line.  ``audio_dir``: contains `<reco>.sph|.wav|.npy`.
     ``channel_map``: optional {reco: channel} (or a path to a file of
     `reco channel` lines) — Fisher SPHERE files are 2-channel, one per
-    speaker; unmapped recos are channel-averaged.  Writes
-    `<out_dir>/<utt>.npy` float32 mono audio at ``rate``.
-    Returns the number of utterances written.
+    speaker; unmapped recos are channel-averaged (applies to .sph, .wav
+    and (T, channels) .npy alike).  Writes `<out_dir>/<utt>.npy`
+    float32 mono audio at ``rate``; a .sph/.wav whose header rate
+    disagrees with ``rate`` is an error (segment seconds would slice at
+    wrong sample offsets).  Returns the number of utterances written.
     """
     if isinstance(channel_map, str):
         cmap = {}
@@ -182,13 +194,24 @@ def extract_segments(segments_path, audio_dir, out_dir,
                 f"no audio for recording {reco!r} in {audio_dir} "
                 f"(.sph/.wav/.npy); pass --allow-missing to skip")
         if path.endswith(".sph"):
-            x = read_sph(path, channel=chan)
+            x, file_rate = read_sph(path, channel=chan, with_rate=True)
         elif path.endswith(".wav"):
-            x = read_wav(path)
+            x, file_rate = read_wav(path, channel=chan, with_rate=True)
         else:
-            x = np.load(path).astype(np.float32).reshape(-1)
-            if x.ndim == 1 and chan is not None:
-                pass  # .npy assumed already mono
+            x = np.load(path).astype(np.float32)
+            file_rate = None  # .npy carries no rate metadata
+            if x.ndim == 2:   # (T, channels)
+                x = x[:, chan] if chan is not None else x.mean(axis=1)
+            elif x.ndim != 1:
+                raise ValueError(
+                    f"{path}: expected 1-D or (T, channels) audio, "
+                    f"got shape {x.shape}")
+        if file_rate is not None and file_rate != rate:
+            raise ValueError(
+                f"{path}: file sample rate {file_rate} != --rate {rate}; "
+                "segment times would slice at wrong offsets (and the "
+                "on-device MFCC front-end assumes 8 kHz telephone "
+                "audio) — resample offline or pass the true rate")
         for utt, start, end in segs:
             s0 = max(0, int(round(start * rate)))
             s1 = min(len(x), int(round(end * rate)))

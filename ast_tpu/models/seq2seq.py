@@ -265,10 +265,7 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
     interp = bool(rnn.get("fused_interpret", False))
     # data-parallel sharding of the kernel: each device runs its local
     # batch rows, so the VMEM chunk policy sees the LOCAL batch
-    n_shards = 1
-    if mesh is not None and mesh.shape.get("data", 1) > 1 \
-            and B % mesh.shape["data"] == 0:
-        n_shards = mesh.shape["data"]
+    n_shards = _n_data_shards(mesh, B)
     B_loc = B // n_shards
     chunk = fused_chunk_size(
         n_layers, n_dirs, B_loc, enc_units,
@@ -773,7 +770,13 @@ def predict_greedy(params, state, mcfg, X, stop_limit,
     if chunk > 0:
         preds = _fused_greedy(params, mcfg, enc_states, dec_h0, dec_c0,
                               stop_limit, compute_dtype, chunk, mesh)
-        return preds, jnp.int32(stop_limit)
+        # reconstruct the while-loop path's n_steps (steps until every
+        # row has produced its first EOS, capped at stop_limit) so both
+        # paths keep the same return contract
+        is_eos = preds == SYMBOLS.EOS_ID
+        per_row = jnp.where(jnp.any(is_eos, axis=1),
+                            jnp.argmax(is_eos, axis=1) + 1, stop_limit)
+        return preds, jnp.max(per_row).astype(jnp.int32)
 
     carry0 = init_decoder_carry(mcfg, dec_h0, dec_c0)
 

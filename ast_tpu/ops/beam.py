@@ -97,10 +97,7 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
             params, state, mcfg, X, key, False, 0.0, compute_dtype,
             mesh)
 
-        n_shards = 1
-        if mesh is not None and mesh.shape.get("data", 1) > 1 \
-                and B % mesh.shape["data"] == 0:
-            n_shards = mesh.shape["data"]
+        n_shards = seq2seq._n_data_shards(mesh, B)
         B_loc = B // n_shards
         chunk = fused_chunk(B_loc, enc_states.shape[1],
                             enc_states.shape[2])

@@ -113,6 +113,26 @@ def _group_stream(gen, G):
         yield buf
 
 
+class CrossingGate:
+    """Fires when a counter CROSSES a multiple of ``every``.
+
+    An exact-modulo check (``consumed % every == 0``) can be stepped
+    over indefinitely when the counter advances by variable step sizes
+    (grouped runs of 1..G batches, shrunken tail batches), deferring
+    the multi-host preemption allgather to the epoch boundary."""
+
+    def __init__(self, every, start=0):
+        self.every = max(1, int(every))
+        self.last = start // self.every
+
+    def crossed(self, consumed):
+        q = consumed // self.every
+        if q == self.last:
+            return False
+        self.last = q
+        return True
+
+
 class NN:
     """Build/load a model + optimizer for one experiment directory."""
 
@@ -231,7 +251,9 @@ class NN:
         if tcfg["extras"].get("shrink_tail_batches", True):
             shards = self.mesh.shape.get("data", 1) \
                 if self.mesh is not None else 1
-            self.tail_shrink = math.lcm(8, shards)
+            # 8 * shards (not lcm): each device's LOCAL rows must stay
+            # 8-aligned for the fused kernels, not just the global batch
+            self.tail_shrink = 8 * shards
         else:
             self.tail_shrink = 0
         self._train_multi_step = (
@@ -468,13 +490,18 @@ class NN:
         # Local flags are OR-combined over DCN at a fixed cadence (the
         # consumed counter is identical on every host, so all hosts hit
         # the collective together and reach the same decision).
-        sync_every = max(1, int(tcfg["extras"].get(
-            "preempt_sync_steps", ckpt_steps or 8)))
+        sync_gate = CrossingGate(
+            tcfg["extras"].get("preempt_sync_steps", ckpt_steps or 8),
+            start=skip)
 
         def preempt_agreed():
             if jax.process_count() <= 1:
                 return self._preempt
-            if consumed % sync_every:
+            # fire on CROSSING a sync boundary (CrossingGate), never on
+            # exact equality — consumed advances by variable group
+            # sizes.  The consumed counter is identical on every host,
+            # so all hosts reach the collective together.
+            if not sync_gate.crossed(consumed):
                 return False
             from jax.experimental import multihost_utils
             flags = multihost_utils.process_allgather(

@@ -38,9 +38,13 @@ def model():
 
 def test_fused_greedy_matches_while_loop(model):
     params, state, X = model
-    ref, _ = seq2seq.predict_greedy(params, state, _mcfg(False), X, STOP)
-    got, _ = seq2seq.predict_greedy(params, state, _mcfg(True), X, STOP)
+    ref, n_ref = seq2seq.predict_greedy(params, state, _mcfg(False), X,
+                                        STOP)
+    got, n_got = seq2seq.predict_greedy(params, state, _mcfg(True), X,
+                                        STOP)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    # same return contract: n_steps = steps until every row's first EOS
+    assert int(n_ref) == int(n_got)
 
 
 def test_fused_beam_matches_while_loop(model):

@@ -105,3 +105,22 @@ def test_e2e_train_with_multi_dispatch(tmp_path):
     losses = [float(r[1]) for r in rows]
     assert all(np.isfinite(l) for l in losses)
     assert losses[1] < losses[0]
+
+
+def test_crossing_gate_not_stepped_over():
+    """The multi-host preemption sync must fire on CROSSING a boundary:
+    with variable-size consumed increments (grouped runs + shrunken
+    tails) an exact-modulo check can be stepped over for a whole epoch."""
+    from ast_tpu.train.trainer import CrossingGate
+
+    # increments of 4 with boundary 10: exact-modulo (x % 10 == 0)
+    # never fires on 2,6,12,16,22,26,... — the crossing gate must
+    g = CrossingGate(10, start=2)
+    seq = [6, 12, 16, 22, 26, 32]
+    fired = [c for c in seq if g.crossed(c)]
+    assert fired == [12, 22, 32]
+    assert all(c % 10 for c in seq), "sequence must dodge exact multiples"
+
+    # multiple crossings in one jump still fire once per check
+    g2 = CrossingGate(5)
+    assert g2.crossed(17) and not g2.crossed(18) and g2.crossed(20)

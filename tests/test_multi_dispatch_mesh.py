@@ -71,3 +71,15 @@ def test_mesh_multi_step_matches_single_device(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
             err_msg=f"mesh-vs-single param mismatch at {pa}")
+
+
+def test_tail_shrink_keeps_local_rows_fused_aligned(tmp_path):
+    """tail_shrink must be 8 x data shards (not lcm): each device's
+    LOCAL rows of a shrunken tail batch must stay 8-aligned or the
+    fused Pallas kernels silently fall back to the scan path."""
+    exp = make_tiny_experiment(str(tmp_path / "m"), n_train=16, n_dev=4,
+                               batch_size=4)
+    _pin_parallel(exp, 4)
+    nn = NN(exp)
+    assert nn.mesh is not None and nn.mesh.shape["data"] == 4
+    assert nn.tail_shrink == 32  # 8 rows/device * 4 devices

@@ -305,3 +305,72 @@ def test_extract_segments_cli_and_missing(tmp_path):
                "--allow-missing"])
     got = np.load(out / "reco1-000.npy")
     np.testing.assert_allclose(got, x[:8000], atol=1e-7)
+
+
+def test_extract_segments_stereo_wav_and_npy_channel_map(tmp_path):
+    """The channel map applies to .wav and (T, channels) .npy
+    recordings too — a mapped stereo wav must yield the selected
+    channel, not a two-speaker average, and a stereo .npy must be
+    channel-sliced, never flattened (which would interleave channels
+    and halve every time offset)."""
+    import wave
+    from ast_tpu.data.wav_loader import extract_segments
+
+    rate = 8000
+    n = 2 * rate
+    chan_a = (np.arange(n) % 1000).astype("<i2")
+    chan_b = (-(np.arange(n) % 700)).astype("<i2")
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    inter = np.empty(2 * n, dtype="<i2")
+    inter[0::2] = chan_a
+    inter[1::2] = chan_b
+    with wave.open(str(audio_dir / "convw.wav"), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(inter.tobytes())
+    np.save(audio_dir / "convn.npy",
+            np.stack([chan_a, chan_b], axis=1).astype(np.float32)
+            / 32768.0)
+
+    seg = tmp_path / "segments"
+    seg.write_text("convw-000 convw 0.25 1.0\n"
+                   "convn-000 convn 0.25 1.0\n")
+    cmap = {"convw": 1, "convn": 1}
+    out = tmp_path / "out"
+    assert extract_segments(str(seg), str(audio_dir), str(out),
+                            channel_map=cmap, rate=rate) == 2
+
+    want = chan_b[int(0.25 * rate):rate].astype(np.float32) / 32768.0
+    np.testing.assert_allclose(np.load(out / "convw-000.npy"), want,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.load(out / "convn-000.npy"), want,
+                               atol=1e-6)
+
+
+def test_extract_segments_rejects_rate_mismatch(tmp_path):
+    """A recording whose header rate disagrees with --rate must error:
+    slicing second-offsets at the wrong rate silently produces
+    wrong-position, wrong-speed training audio (Kaldi reads the true
+    file rate)."""
+    import wave
+
+    import pytest as _pytest
+
+    from ast_tpu.data.wav_loader import extract_segments
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    x = (np.arange(16000) % 500).astype("<i2")
+    with wave.open(str(audio_dir / "r16k.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(x.tobytes())
+    seg = tmp_path / "segments"
+    seg.write_text("r16k-000 r16k 0.0 0.5\n")
+    with _pytest.raises(ValueError, match="sample rate"):
+        extract_segments(str(seg), str(audio_dir), str(tmp_path / "o"),
+                         rate=8000)
