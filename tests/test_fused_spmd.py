@@ -147,6 +147,35 @@ def test_fused_greedy_mesh_matches_single_device(tmp_path):
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
 
 
+def test_fused_beam_mesh_matches_single_device(tmp_path):
+    """Fused beam search under the mesh (the shard_map branch of
+    ops/beam.py's decode) returns the same hyps/scores/lengths as fused
+    single-device — the multi-host offline decode workflow."""
+    from ast_tpu.ops.beam import make_beam_decoder
+
+    nn1, nn2 = _fused_pair(tmp_path, model_axis=1)
+
+    gen = nn1.data_loader.get_batch(8, "tiny_dev", train=False,
+                                    labels=False)
+    batch = nn1._device_batch(next(iter(gen)), labels=False)
+    gen2 = nn2.data_loader.get_batch(8, "tiny_dev", train=False,
+                                     labels=False)
+    batch2 = nn2._device_batch(next(iter(gen2)), labels=False)
+
+    dec1 = make_beam_decoder(nn1.mcfg, N=3, K=3, stop_limit=8)
+    dec2 = make_beam_decoder(nn2.mcfg, N=3, K=3, stop_limit=8,
+                             mesh=nn2.mesh)
+    h1, s1, l1 = dec1(nn1.params, nn1.state, batch["X"])
+    h2, s2, l2 = dec2(replicate(
+        jax.tree.map(jnp.array, nn1.params), nn2.mesh),
+        replicate(jax.tree.map(jnp.array, nn1.state), nn2.mesh),
+        batch2["X"])
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 def test_encoder_chunk_dropout_bit_invariant():
     """Row-offset dropout hashing: chunked fused encoder == full-batch
     fused encoder BIT-exactly even with dropout on (the masks hash
