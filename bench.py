@@ -20,6 +20,8 @@ Two baselines are measured and reported (BASELINE.md caveats):
 """
 
 import json
+import os
+import threading
 import time
 
 import numpy as np
@@ -333,11 +335,101 @@ def bench_epoch(B=32, G=4, compute_dtype=jnp.bfloat16):
     return best, total_utts / best, total_slots / best
 
 
+# A single tunnel call can block forever when the remote-TPU link drops
+# (observed: a trivial matmul hanging >2 min mid-bench).  The driver
+# contract is ONE JSON line no matter what, so emission is funneled
+# through emit_once() and a watchdog thread prints the best-so-far
+# partial results and force-exits if the deadline passes while the main
+# thread is wedged inside a blocked device call.
+_emitted = threading.Event()
+_emit_lock = threading.Lock()
+
+
+def emit_once(payload):
+    with _emit_lock:
+        if _emitted.is_set():
+            return
+        _emitted.set()
+        print(json.dumps(payload), flush=True)
+
+
+def _start_watchdog(t0, deadline_s, payload_fn):
+    def watch():
+        while not _emitted.wait(15):
+            if time.time() - t0 > deadline_s:
+                payload = payload_fn()
+                payload["aborted"] = (
+                    f"deadline {deadline_s:.0f}s: device call wedged "
+                    "(remote-TPU tunnel); partial results")
+                emit_once(payload)
+                os._exit(0)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
+def _train_payload(specs, fused_rounds, scan_best, standin):
+    """Build the result JSON from whatever has been measured so far."""
+    done = {k: v for k, v in fused_rounds.items() if v}
+    if not done:
+        return {
+            "metric": "fisher_es_en_20h_train_utts_per_sec_per_chip",
+            "value": 0.0, "unit": "utts/sec/chip",
+            "vs_baseline": None, "config": "no measurement completed",
+        }
+    fused_best = {k: max(v) for k, v in done.items()}
+    fused_median = {k: float(np.median(v)) for k, v in done.items()}
+    # relative spread over rounds: (max - min) / median — the recorded
+    # artifact's round-over-round comparability signal (the remote-TPU
+    # tunnel swings >2x between minutes; see BASELINE.md)
+    fused_spread = {
+        k: round((max(v) - min(v)) / max(1e-9, float(np.median(v))), 3)
+        for k, v in done.items()}
+    best_cfg = max(fused_best, key=fused_best.get)
+    value = fused_best[best_cfg]
+    B, G = specs[best_cfg]
+    scan_same = scan_best.get(best_cfg, 0.0)
+    vs_scan = (value / scan_same) if scan_same else None
+    vs_standin = (value / standin) if standin else None
+    return {
+        "metric": "fisher_es_en_20h_train_utts_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "utts/sec/chip",
+        "config": f"fused Pallas + bf16, B={B}"
+                  + (f", {G} steps/dispatch" if G > 1 else ""),
+        # headline ratio = the defensible one: vs our own fully-jitted
+        # f32 lax.scan step at the same batch size AND same dispatch
+        # grouping on the same chip
+        "vs_baseline": round(vs_scan, 2) if vs_scan else None,
+        "vs_jitted_scan": round(vs_scan, 2) if vs_scan else None,
+        "vs_dispatch_standin": round(vs_standin, 2) if vs_standin else None,
+        "median": round(fused_median[best_cfg], 2),
+        "spread": fused_spread[best_cfg],
+        "rounds": len(done[best_cfg]),
+        "fused_utts_per_sec": {
+            k: round(v, 2) for k, v in fused_best.items()},
+        "fused_median_utts_per_sec": {
+            k: round(v, 2) for k, v in fused_median.items()},
+        "fused_spread": fused_spread,
+        "baseline_utts_per_sec": {
+            **{f"jitted_scan_f32_{k}": round(v, 2)
+               for k, v in scan_best.items() if v},
+            "dispatch_standin": round(standin, 2) if standin else None,
+        },
+    }
+
+
 def main():
     import sys
+    t0 = time.time()
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
     if "--epoch" in sys.argv:
+        _start_watchdog(t0, deadline, lambda: {
+            "metric": "fisher_es_en_20h_full_epoch_train",
+            "value": 0.0, "unit": "utts/sec/chip",
+            "config": "no measurement completed",
+        })
         dt, ups, sps = bench_epoch()
-        print(json.dumps({
+        emit_once({
             "metric": "fisher_es_en_20h_full_epoch_train",
             "value": round(ups, 2),
             "unit": "utts/sec/chip",
@@ -345,7 +437,7 @@ def main():
             "epoch_seconds": round(dt, 2),
             "config": "real 20-bucket duration mix, B=32, G=4, "
                       "fused + bf16",
-        }))
+        })
         return
     # The remote-TPU tunnel swings >2x between minutes; interleave the
     # measurement rounds of all jitted configurations so a slow window
@@ -356,6 +448,11 @@ def main():
     # jitted-scan baseline as the honest ratio.
     specs = {"B32": (32, 1), "B128": (128, 1),
              "B32_G8": (32, 8), "B128_G4": (128, 4)}
+    fused_rounds = {}
+    scan_best = {}
+    standin_box = [None]
+    _start_watchdog(t0, deadline, lambda: _train_payload(
+        specs, fused_rounds, scan_best, standin_box[0]))
     runners, scans = {}, {}
     for name, (B, G) in specs.items():
         try:
@@ -370,60 +467,61 @@ def main():
                 steps_per_dispatch=G)
         except Exception:
             pass
-    fused_rounds = {k: [] for k in runners}
-    scan_best = {k: 0.0 for k in scans}
-    for _ in range(4):
+    fused_rounds.update({k: [] for k in runners})
+    scan_best.update({k: 0.0 for k in scans})
+    if not runners:
+        # tunnel down at compile time: still honor the one-JSON contract
+        emit_once(_train_payload(specs, fused_rounds, scan_best, None))
+        return
+
+    def one_round():
+        # a transient tunnel error loses this round's sample, not the
+        # whole bench (hangs are handled by the watchdog instead)
         for k, run in runners.items():
             B = specs[k][0]
-            fused_rounds[k].append(run(max(8, 1024 // B)))
+            try:
+                fused_rounds[k].append(run(max(8, 1024 // B)))
+            except Exception:
+                pass
         for k, run in scans.items():
             B = specs[k][0]
-            scan_best[k] = max(scan_best[k], run(max(4, 256 // B)))
-    fused_best = {k: max(v) for k, v in fused_rounds.items()}
-    fused_median = {k: float(np.median(v))
-                    for k, v in fused_rounds.items()}
-    # relative spread over rounds: (max - min) / median — the recorded
-    # artifact's round-over-round comparability signal (the remote-TPU
-    # tunnel swings >2x between minutes; see BASELINE.md)
-    fused_spread = {
-        k: round((max(v) - min(v)) / max(1e-9, float(np.median(v))), 3)
-        for k, v in fused_rounds.items()}
-    try:
-        standin = bench_reference_style()
-    except Exception:
-        standin = None
+            try:
+                scan_best[k] = max(scan_best[k], run(max(4, 256 // B)))
+            except Exception:
+                pass
 
-    best_cfg = max(fused_best, key=fused_best.get)
-    value = fused_best[best_cfg]
-    B, G = specs[best_cfg]
-    scan_same = scan_best.get(best_cfg, 0.0)
-    vs_scan = (value / scan_same) if scan_same else None
-    vs_standin = (value / standin) if standin else None
-    print(json.dumps({
-        "metric": "fisher_es_en_20h_train_utts_per_sec_per_chip",
-        "value": round(value, 2),
-        "unit": "utts/sec/chip",
-        "config": f"fused Pallas + bf16, B={B}"
-                  + (f", {G} steps/dispatch" if G > 1 else ""),
-        # headline ratio = the defensible one: vs our own fully-jitted
-        # f32 lax.scan step at the same batch size AND same dispatch
-        # grouping on the same chip
-        "vs_baseline": round(vs_scan, 2) if vs_scan else None,
-        "vs_jitted_scan": round(vs_scan, 2) if vs_scan else None,
-        "vs_dispatch_standin": round(vs_standin, 2) if vs_standin else None,
-        "median": round(fused_median[best_cfg], 2),
-        "spread": fused_spread[best_cfg],
-        "fused_utts_per_sec": {
-            k: round(v, 2) for k, v in fused_best.items()},
-        "fused_median_utts_per_sec": {
-            k: round(v, 2) for k, v in fused_median.items()},
-        "fused_spread": fused_spread,
-        "baseline_utts_per_sec": {
-            **{f"jitted_scan_f32_{k}": round(v, 2)
-               for k, v in scan_best.items() if v},
-            "dispatch_standin": round(standin, 2) if standin else None,
-        },
-    }))
+    for _ in range(4):
+        one_round()
+    # The 4 base rounds run back-to-back, i.e. inside ONE tunnel speed
+    # window — a slow minute depresses them all together.  Measurement
+    # is cheap next to the compiles, so stretch extra rounds across
+    # ~3 minutes of wall time (15 s gaps sample distinct windows) and
+    # stop early once best-of has stabilized: the recorded artifact
+    # becomes best-over-windows, not best-of-one-window.
+    stale = 0
+    extras_end = min(t0 + 0.6 * deadline, time.time() + 360)
+
+    def cur_best():
+        return max((max(v) for v in fused_rounds.values() if v),
+                   default=0.0)
+
+    for _ in range(12):
+        if stale >= 4 or time.time() > extras_end:
+            break
+        time.sleep(15)
+        prev_best = cur_best()
+        one_round()
+        stale = 0 if cur_best() > prev_best * 1.005 else stale + 1
+    # the eager stand-in costs minutes of tunnel round-trips; skip it
+    # when the deadline is near so the jitted results still get emitted
+    if time.time() - t0 < 0.75 * deadline:
+        try:
+            standin_box[0] = bench_reference_style()
+        except Exception:
+            standin_box[0] = None
+
+    emit_once(_train_payload(specs, fused_rounds, scan_best,
+                             standin_box[0]))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,87 @@
+"""bench.py result-emission logic (no TPU required).
+
+The driver runs ``python bench.py`` at round end and records its single
+JSON line; these tests pin the payload builder and the emit-once /
+watchdog plumbing that guarantee that line is printed even when the
+remote-TPU tunnel wedges a device call mid-bench (observed failure
+mode: a trivial matmul blocking forever)."""
+
+import importlib.util
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def bench():
+    spec = importlib.util.spec_from_file_location("bench_under_test",
+                                                  "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+SPECS = {"B32": (32, 1), "B128": (128, 1), "B128_G4": (128, 4)}
+
+
+def test_payload_best_config_and_ratio(bench):
+    p = bench._train_payload(
+        SPECS,
+        {"B32": [100.0, 120.0], "B128": [200.0, 180.0], "B128_G4": []},
+        {"B32": 50.0, "B128": 80.0},
+        standin=2.0)
+    assert p["value"] == 200.0
+    assert p["config"].endswith("B=128")
+    assert p["vs_baseline"] == 2.5          # same-config scan baseline
+    assert p["vs_dispatch_standin"] == 100.0
+    assert p["median"] == 190.0
+    assert p["rounds"] == 2
+    # configs with no completed rounds are dropped, not crashed on
+    assert "B128_G4" not in p["fused_utts_per_sec"]
+    json.dumps(p)                           # JSON-serializable
+
+
+def test_payload_missing_scan_baseline(bench):
+    p = bench._train_payload(SPECS, {"B32": [100.0]}, {}, None)
+    assert p["value"] == 100.0
+    assert p["vs_baseline"] is None
+    assert p["vs_dispatch_standin"] is None
+
+
+def test_payload_nothing_measured(bench):
+    p = bench._train_payload(SPECS, {}, {}, None)
+    assert p["value"] == 0.0
+    assert p["vs_baseline"] is None
+    json.dumps(p)
+
+
+def test_emit_once_prints_exactly_one_line(bench, capsys):
+    bench.emit_once({"value": 1})
+    bench.emit_once({"value": 2})
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    assert json.loads(out[0]) == {"value": 1}
+
+
+def test_watchdog_emits_partial_on_deadline(bench, capsys, monkeypatch):
+    import os
+    import time
+
+    # deadline already passed; make the watchdog poll instantly and
+    # capture the exit instead of killing pytest
+    exited = []
+    monkeypatch.setattr(os, "_exit", lambda code: exited.append(code))
+    orig_wait = bench._emitted.wait
+    monkeypatch.setattr(bench._emitted, "wait",
+                        lambda timeout=None: orig_wait(0.01))
+    bench._start_watchdog(time.time() - 100, 1.0,
+                          lambda: {"value": 42.0})
+    deadline = time.time() + 5
+    while not exited and time.time() < deadline:
+        time.sleep(0.01)
+    assert exited == [0]
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    payload = json.loads(out[0])
+    assert payload["value"] == 42.0
+    assert "aborted" in payload
