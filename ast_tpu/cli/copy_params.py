@@ -23,9 +23,14 @@ from ast_tpu.train.checkpoint import (
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Transfer param groups")
     parser.add_argument("--src", required=True, help="donor experiment dir")
-    parser.add_argument("--dst", required=True, help="target experiment dir")
+    parser.add_argument("--dst", help="target experiment dir")
     parser.add_argument("--groups", default="enc",
                         help="comma list of: enc, attn, dec")
+    parser.add_argument("--export-chainer", metavar="FILE",
+                        help="instead of transferring, write --src's latest "
+                             "checkpoint in the reference's Chainer "
+                             "save_npz layout (loadable by the reference's "
+                             "nn.py:150 serializers.load_npz)")
     args = parser.parse_args(argv)
 
     groups = tuple(g.strip() for g in args.groups.split(",") if g.strip())
@@ -35,6 +40,17 @@ def main(argv=None):
         raise FileNotFoundError(f"no checkpoint found in {args.src}")
     print(f"donor checkpoint: {src_ckpt} (epoch {src_epoch})")
     src = load_checkpoint(src_ckpt)
+
+    if args.export_chainer:
+        from ast_tpu.train.chainer_import import ast_to_chainer
+        arrays = ast_to_chainer(src["params"], src.get("state") or {})
+        with open(args.export_chainer, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        print(f"exported Chainer-format model: {args.export_chainer} "
+              f"({len(arrays)} arrays)")
+        return
+    if not args.dst:
+        parser.error("--dst is required unless --export-chainer is given")
 
     dst_cfg = Config(args.dst)
     key = jax.random.PRNGKey(0)

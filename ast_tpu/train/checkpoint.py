@@ -18,6 +18,8 @@ import re
 import jax
 import numpy as np
 
+from ast_tpu.train import chainer_import
+
 
 def _flatten(tree, prefix=""):
     flat = {}
@@ -75,15 +77,25 @@ def save_checkpoint(path, params, state=None, opt_state=None, extra=None):
 
 def load_checkpoint(path):
     """Load a snapshot; returns dict with 'params' and optional
-    'state'/'opt'/'extra' subtrees (numpy leaves)."""
+    'state'/'opt'/'extra' subtrees (numpy leaves).
+
+    Reference (Chainer-serialized) checkpoints are detected by their key
+    schema and converted in place — a trained ``seq2seq_<epoch>.model``
+    from a reference experiment directory loads directly (params + BN
+    state; the reference saves no optimizer state)."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as f:
         flat = {k: f[k] for k in f.files}
+    if chainer_import.is_chainer_checkpoint(flat):
+        return chainer_import.chainer_to_ast(flat)
     return _unflatten(flat)
 
 
-_CKPT_RE = re.compile(r"seq2seq_(\d+)\.model\.npz$")
+# our snapshots are ``seq2seq_<e>.model.npz``; reference checkpoints are
+# ``seq2seq_<e>.model`` (Chainer hands numpy.savez an open file handle,
+# so no .npz suffix is appended) — auto-resume accepts both
+_CKPT_RE = re.compile(r"seq2seq_(\d+)\.model(\.npz)?$")
 
 
 def checkpoint_path(model_dir, epoch):
@@ -91,13 +103,20 @@ def checkpoint_path(model_dir, epoch):
 
 
 def latest_checkpoint(model_dir):
-    """(path, epoch) of the max-epoch checkpoint, or (None, 0)."""
-    best, best_epoch = None, 0
+    """(path, epoch) of the max-epoch checkpoint, or (None, 0).
+
+    At equal epoch our ``.model.npz`` outranks a reference ``.model``
+    (ours carries optimizer state and the exact-resume extras)."""
+    best, best_epoch, best_ours = None, 0, False
     if os.path.isdir(model_dir):
         for f in os.listdir(model_dir):
             m = _CKPT_RE.search(f)
-            if m and int(m.group(1)) >= best_epoch:
-                best_epoch = int(m.group(1))
+            if not m:
+                continue
+            epoch, ours = int(m.group(1)), m.group(2) is not None
+            if best is None or epoch > best_epoch or (
+                    epoch == best_epoch and ours and not best_ours):
+                best_epoch, best_ours = epoch, ours
                 best = os.path.join(model_dir, f)
     return best, best_epoch
 
