@@ -24,8 +24,15 @@ def read_text_ark(path):
     """Yield (utt_id, (T, D) float32 array) from a text-format ark."""
     from ast_tpu.native import fast_text_ark
     if fast_text_ark is not None:
-        yield from fast_text_ark(path)
-        return
+        try:
+            # eager parse+validate: raises before yielding anything
+            items = fast_text_ark(path)
+        except ValueError:
+            # ragged/mixed-dims ark the flat C++ layout can't represent
+            items = None
+        if items is not None:
+            yield from items
+            return
     yield from _read_text_ark_py(path)
 
 

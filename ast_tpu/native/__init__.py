@@ -55,7 +55,15 @@ def _load():
 
 
 def _fast_text_ark(path):
-    """Yield (utt_id, (T, D) float32) from a text ark via the C++ parser."""
+    """(utt_id, (T, D) float32) items from a text ark via the C++ parser.
+
+    Parses and validates eagerly (before anything is yielded): the C++
+    pass assumes one rectangular column count for the whole file, so a
+    ragged/truncated/mixed-dims ark is detected here by a float-count
+    mismatch and rejected with ValueError — the caller falls back to
+    the per-matrix Python parser instead of slicing misaligned (or
+    out-of-bounds) views out of the flat buffer.
+    """
     lib = _load()
     res = lib.ark_parse_text(path.encode())
     if not res:
@@ -64,19 +72,27 @@ def _fast_text_ark(path):
         r = res.contents
         n = int(r.n_utts)
         if n == 0:
-            return
+            return iter(())
         cols = int(r.cols)
         rows = np.ctypeslib.as_array(r.rows, shape=(n,)).copy()
         total = int(rows.sum())
+        names = (r.names or b"").decode().split("\n")
+        if (cols <= 0 or (rows < 0).any() or len(names) != n
+                or total * cols != int(r.n_floats)):
+            raise ValueError(
+                f"ark {path} is not representable by the fast parser "
+                f"(ragged dims or malformed matrix markers)")
         flat = np.ctypeslib.as_array(r.data, shape=(total * cols,)).copy()
-        names = r.names.decode().split("\n")
-        offset = 0
-        for i in range(n):
-            t = int(rows[i])
-            yield names[i], flat[offset: offset + t * cols].reshape(t, cols)
-            offset += t * cols
     finally:
         lib.ark_free(res)
+    offset = 0
+    items = []
+    for i in range(n):
+        t = int(rows[i])
+        items.append(
+            (names[i], flat[offset: offset + t * cols].reshape(t, cols)))
+        offset += t * cols
+    return iter(items)
 
 
 fast_text_ark = _fast_text_ark if _load() is not None else None

@@ -121,6 +121,33 @@ def test_native_parser_matches_python(tmp_path, ark_items):
         np.testing.assert_allclose(m1, m2, rtol=1e-5)
 
 
+def test_ragged_ark_falls_back_to_python(tmp_path):
+    """Mixed-dims arks bypass the flat C++ layout instead of misaligning.
+
+    The native parser assumes one rectangular column count per file; a
+    ragged ark must be rejected eagerly (ValueError, before any item is
+    yielded) and read_text_ark must transparently serve it through the
+    per-matrix Python parser.
+    """
+    rng = np.random.RandomState(1)
+    items = [
+        ("u1", rng.randn(4, 13).astype(np.float32)),
+        ("u2", rng.randn(3, 42).astype(np.float32)),  # different dim
+    ]
+    path = str(tmp_path / "ragged.ark")
+    _write_text_ark(path, items)
+
+    from ast_tpu.native import fast_text_ark
+    if fast_text_ark is not None:
+        with pytest.raises(ValueError):
+            fast_text_ark(path)
+
+    got = list(kaldi_ark.read_text_ark(path))
+    assert [u for u, _ in got] == ["u1", "u2"]
+    for (_, m1), (_, m2) in zip(got, items):
+        np.testing.assert_allclose(m1, m2, rtol=1e-5)
+
+
 def test_binary_ark_roundtrip(tmp_path, ark_items):
     path = str(tmp_path / "test_bin.ark")
     kaldi_ark.write_binary_ark(path, ark_items)
