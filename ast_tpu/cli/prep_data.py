@@ -207,6 +207,12 @@ def cmd_build_dicts(args):
         print(f"{k}: {v}")
 
 
+def cmd_meteor_refs(args):
+    from ast_tpu.eval.bleu import export_meteor_refs
+    out = export_meteor_refs(args.refs_dir, args.n_evals, args.out)
+    print(f"wrote METEOR {args.n_evals}-ref file: {out}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -282,6 +288,14 @@ def main(argv=None):
     p.add_argument("out")
     p.add_argument("--merges", type=int, default=1000)
     p.set_defaults(fn=cmd_learn_bpe)
+
+    p = sub.add_parser(
+        "meteor-refs",
+        help="interleave ref.en0..N-1 into the METEOR multi-ref layout")
+    p.add_argument("refs_dir")
+    p.add_argument("--n_evals", type=int, default=4)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_meteor_refs)
 
     p = sub.add_parser("build-dicts")
     p.add_argument("in_path")

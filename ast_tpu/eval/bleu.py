@@ -92,6 +92,32 @@ def corpus_bleu(list_of_references, hypotheses,
     return score
 
 
+def export_meteor_refs(refs_dir, n_evals, out_path=None):
+    """Write the METEOR multi-reference file from ``ref.en0..N-1``.
+
+    The reference's eval dirs ship a ``meteor_4refs.en`` alongside the
+    per-system ref files (reference: data/fisher/refs/*/meteor_4refs.en):
+    for each utterance in ``eval.ids`` order, its N references appear as
+    N consecutive lines — the layout ``meteor -r N`` expects.  Returns
+    the output path.
+    """
+    refs = []
+    for i in range(n_evals):
+        with open(os.path.join(refs_dir, f"ref.en{i}"), "r",
+                  encoding="utf-8") as f:
+            refs.append([line.rstrip("\n") for line in f])
+    if len({len(r) for r in refs}) != 1:
+        raise ValueError(
+            f"ref.en0..{n_evals - 1} in {refs_dir} disagree on line count")
+    if out_path is None:
+        out_path = os.path.join(refs_dir, f"meteor_{n_evals}refs.en")
+    with open(out_path, "w", encoding="utf-8") as out:
+        for lines in zip(*refs):
+            for line in lines:
+                out.write(line + "\n")
+    return out_path
+
+
 class Eval:
     """Multi-reference BLEU evaluation over a refs directory."""
 

@@ -58,6 +58,22 @@ def test_buckets_main_persists(tmp_path):
     assert saved["train"]["num_b"] == 4
 
 
+def test_meteor_refs_match_reference_file(tmp_path):
+    """export_meteor_refs reproduces the shipped meteor_4refs.en exactly."""
+    from ast_tpu.eval.bleu import export_meteor_refs
+    refs_dir = "/root/reference/data/fisher/refs/fisher_dev"
+    if not os.path.exists(os.path.join(refs_dir, "meteor_4refs.en")):
+        pytest.skip("reference data not mounted")
+    out = export_meteor_refs(refs_dir, 4,
+                             out_path=str(tmp_path / "meteor.en"))
+    with open(out, encoding="utf-8") as f:
+        got = f.read()
+    with open(os.path.join(refs_dir, "meteor_4refs.en"),
+              encoding="utf-8") as f:
+        want = f.read()
+    assert got == want
+
+
 def test_bucket_parity_with_reference_info():
     """Golden check on the real fisher_20h.info shipped with the reference."""
     info_path = "/root/reference/data/fisher/fisher_20h.info"
