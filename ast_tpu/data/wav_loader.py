@@ -46,9 +46,25 @@ def read_wav(path, channel=None, with_rate=False):
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:
         x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
-    else:
+    elif width == 3:
+        # 24-bit PCM: sign-extend 3-byte little-endian samples via i32
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        i32 = (b[:, 0].astype(np.int32)
+               | (b[:, 1].astype(np.int32) << 8)
+               | (b[:, 2].astype(np.int32) << 16))
+        i32 = (i32 << 8) >> 8  # sign extend bit 23
+        x = i32.astype(np.float32) / 8388608.0
+    elif width == 1:
+        # wav 8-bit is unsigned
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
         x = (x - 128.0) / 128.0
+    else:
+        raise ValueError(
+            f"{path}: unsupported wav sample width {width} bytes")
+    if channel is not None and channel >= channels:
+        raise ValueError(
+            f"{path}: channel {channel} requested but file has "
+            f"{channels} channel(s)")
     if channels > 1:
         x = x.reshape(-1, channels)
         x = x[:, channel] if channel is not None else x.mean(axis=1)
@@ -127,6 +143,10 @@ def read_sph(path, channel=None, with_rate=False):
 
     if n_samples:
         x = x[: n_samples * channels]
+    if channel is not None and channel >= channels:
+        raise ValueError(
+            f"{path}: channel {channel} requested but header says "
+            f"channel_count {channels}")
     if channels > 1:
         x = x.reshape(-1, channels)
         x = x[:, channel] if channel is not None else x.mean(axis=1)
@@ -201,7 +221,18 @@ def extract_segments(segments_path, audio_dir, out_dir,
             x = np.load(path).astype(np.float32)
             file_rate = None  # .npy carries no rate metadata
             if x.ndim == 2:   # (T, channels)
+                if chan is not None and chan >= x.shape[1]:
+                    raise ValueError(
+                        f"{path}: channel {chan} requested but array has "
+                        f"{x.shape[1]} channel(s)")
                 x = x[:, chan] if chan is not None else x.mean(axis=1)
+            elif x.ndim == 1 and chan not in (None, 0):
+                # a mapped non-zero channel on mono audio means the
+                # recording was pre-mixed — slicing it would train on
+                # the wrong speaker's side, so fail loudly
+                raise ValueError(
+                    f"{path}: channel_map assigns channel {chan} to "
+                    f"{reco} but its audio is 1-D (mono)")
             elif x.ndim != 1:
                 raise ValueError(
                     f"{path}: expected 1-D or (T, channels) audio, "

@@ -808,16 +808,10 @@ def _fused_infer_chunk(mcfg, enc_states, compute_dtype, enc_mask, mesh):
     to the lax.while_loop path).  Same variant gates as the training
     kernel (_use_fused_decoder)."""
     rnn = mcfg["rnn_config"]
-    if not rnn.get("fused_decoder", False) or enc_mask is not None:
-        return 0
-    if not rnn.get("fused_infer", True):
-        return 0  # explicit off-switch for the inference kernels only
-    if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
-            or rnn.get("ln", False)
-            or rnn.get("attn_block_size", 0)):
-        return 0
-    from ast_tpu.ops.fused_infer import fused_infer_chunk
+    from ast_tpu.ops.fused_infer import fused_infer_chunk, infer_variant_ok
     from ast_tpu.ops.fused_decoder import round_up
+    if not infer_variant_ok(mcfg, enc_mask):
+        return 0
     B, T, H = enc_states.shape
     B_loc = B // _n_data_shards(mesh, B)
     if rnn.get("fused_interpret", False):

@@ -53,18 +53,15 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
         """Utterance-chunk size for the fused beam kernel (0 = XLA
         frontier loop).  Attention history stays on the XLA path."""
         rnn = mcfg["rnn_config"]
-        if return_attn or not rnn.get("fused_decoder", False):
-            return 0
-        if not rnn.get("fused_infer", True):
-            return 0  # explicit off-switch for the inference kernels
-        if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
-                or rnn.get("ln", False)
-                or rnn.get("attn_block_size", 0)):
+        from ast_tpu.ops.fused_decoder import round_up
+        from ast_tpu.ops.fused_infer import (
+            fused_beam_chunk, infer_variant_ok)
+        # variant gates shared with the greedy dispatcher
+        # (seq2seq._fused_infer_chunk); attention history stays XLA-side
+        if return_attn or not infer_variant_ok(mcfg):
             return 0
         if rnn.get("fused_interpret", False):
             return B
-        from ast_tpu.ops.fused_decoder import round_up
-        from ast_tpu.ops.fused_infer import fused_beam_chunk
         Vp = round_up(rnn["dec_vocab_size"], 128)
         wb = 2 if compute_dtype != jnp.float32 else 4
         return fused_beam_chunk(

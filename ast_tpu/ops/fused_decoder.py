@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ast_tpu.ops.fused_lstm import _apply_gates, _drop_mask
+from ast_tpu.ops.fused_lstm import _apply_gates, _drop_mask, aligned_divisors
 
 # Calibrated against observed Mosaic compiles with the raised scoped-vmem
 # cap below: chunk 64 at flagship shapes (naive sum ~31 MB) compiles and
@@ -84,15 +84,10 @@ def fused_decoder_chunk(L, B, H, E, A, T, Vp, weight_bytes=2):
     16 MB scoped-vmem ceiling; the raised ``vmem_limit_bytes`` compiler
     param made it unnecessary — flagship B=128 now runs decoder chunks
     of 64.)"""
-    c = B
-    while c >= 8:
-        if c % 8 == 0 and B % c == 0 and fused_decoder_fits(
-                L, c, H, E, A, T, Vp, weight_bytes):
-            break
-        c //= 2
-    if c < 8:
-        return 0
-    return c
+    for c in aligned_divisors(B):
+        if fused_decoder_fits(L, c, H, E, A, T, Vp, weight_bytes):
+            return c
+    return 0
 
 
 def _dot(a, w):

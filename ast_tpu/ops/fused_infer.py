@@ -41,6 +41,7 @@ from ast_tpu.ops.fused_decoder import (
     _COMPILER_PARAMS, _diag_expand, _diag_rows, _dot, _dot_c0, _dot_t,
     round_up,
 )
+from ast_tpu.ops.fused_lstm import aligned_divisors
 from ast_tpu.symbols import SYMBOLS
 
 VMEM_BUDGET = 40 * 1024 * 1024
@@ -107,27 +108,43 @@ def fused_infer_fits(L, B, H, E, A, T, Vp, weight_bytes=2):
     return est < VMEM_BUDGET
 
 
+def infer_variant_ok(mcfg, enc_mask=None):
+    """Variant gates shared by the greedy and beam fused-inference
+    dispatchers (seq2seq._fused_infer_chunk, beam.make_beam_decoder).
+
+    One predicate, one place: a model flag these kernels can't express
+    (extra attention heads, no input feeding, LayerNorm, blockwise or
+    masked attention) must push BOTH decode paths to the XLA loop —
+    gating them separately risks one path silently running the kernel
+    with wrong semantics while the other correctly falls back."""
+    rnn = mcfg["rnn_config"]
+    if not rnn.get("fused_decoder", False) or enc_mask is not None:
+        return False
+    if not rnn.get("fused_infer", True):
+        return False  # explicit off-switch for the inference kernels
+    if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
+            or rnn.get("ln", False)
+            or rnn.get("attn_block_size", 0)):
+        return False
+    return True
+
+
 def fused_infer_chunk(L, B, H, E, A, T, Vp, weight_bytes=2):
     """Largest batch chunk (divisor of B, multiple of 8) that fits."""
-    c = B
-    while c >= 8:
-        if c % 8 == 0 and B % c == 0 and fused_infer_fits(
-                L, c, H, E, A, T, Vp, weight_bytes):
+    for c in aligned_divisors(B):
+        if fused_infer_fits(L, c, H, E, A, T, Vp, weight_bytes):
             return c
-        c //= 2
     return 0
 
 
-def _step_core(L, B, H, E, A, T, Vp, refs, oh, ht_prev, h_s, c_s):
-    """Shared per-step decoder math: one-hot input -> (logits, ht).
-
-    Mutates h_s/c_s in place; returns (logits (B, Vp) f32, ht (B, A))."""
-    (enc_ref, wx0_ref, wxr_ref, wh_ref, b_ref, wa_ref, wab_ref,
-     ctxw_ref, ctxb_ref, outw_ref, outb_ref, embed_ref) = refs
-
-    emb = _dot(oh, embed_ref[...])                       # (B, E)
-    x = jnp.concatenate([emb, ht_prev], axis=-1)         # (B, E+A)
-
+def _lstm_stack(L, H, wx0_ref, wxr_ref, wh_ref, b_ref, embed_ref,
+                oh, ht_prev, h_s, c_s):
+    """Embedding + input feeding + the L-layer decoder LSTM stack,
+    shared verbatim by the greedy and beam kernels (only the attention
+    section differs between them).  Mutates h_s/c_s in place; returns
+    the top layer's hidden output (rows, H)."""
+    emb = _dot(oh, embed_ref[...])                       # (rows, E)
+    x = jnp.concatenate([emb, ht_prev], axis=-1)         # (rows, E+A)
     for l in range(L):
         z = _dot(x, wx0_ref[...]) if l == 0 else _dot(x, wxr_ref[l - 1])
         z = z + _dot(h_s[l], wh_ref[l]) + b_ref[l]
@@ -140,16 +157,34 @@ def _step_core(L, B, H, E, A, T, Vp, refs, oh, ht_prev, h_s, c_s):
         h_s[l] = h_new
         c_s[l] = c_new
         x = h_new
+    return x
+
+
+def _context_out(x, cv, ctxw_ref, ctxb_ref, outw_ref, outb_ref):
+    """Attentional hidden state + output projection, shared by the
+    greedy and beam kernels: ht = tanh(ctx([cv; x])), logits = out(ht)."""
+    ctx_in = jnp.concatenate([cv, x], axis=-1)
+    ht = jnp.tanh(_dot(ctx_in, ctxw_ref[...]) + ctxb_ref[...])
+    logits = _dot(ht, outw_ref[...]) + outb_ref[...]     # (rows, Vp) f32
+    return logits, ht
+
+
+def _step_core(L, B, H, E, A, T, Vp, refs, oh, ht_prev, h_s, c_s):
+    """Shared per-step decoder math: one-hot input -> (logits, ht).
+
+    Mutates h_s/c_s in place; returns (logits (B, Vp) f32, ht (B, A))."""
+    (enc_ref, wx0_ref, wxr_ref, wh_ref, b_ref, wa_ref, wab_ref,
+     ctxw_ref, ctxb_ref, outw_ref, outb_ref, embed_ref) = refs
+
+    x = _lstm_stack(L, H, wx0_ref, wxr_ref, wh_ref, b_ref, embed_ref,
+                    oh, ht_prev, h_s, c_s)
 
     q = _dot(x, wa_ref[...]) + wab_ref[...]              # (B, H)
     enc2 = enc_ref[...]                                  # (B*T, H)
     scores = _diag_rows(_dot_t(enc2, q), B, T)           # (B, T)
     alphas = jax.nn.softmax(scores, axis=-1)
     cv = _dot_c0(_diag_expand(alphas, B, T), enc2)       # (B, H)
-    ctx_in = jnp.concatenate([cv, x], axis=-1)
-    ht = jnp.tanh(_dot(ctx_in, ctxw_ref[...]) + ctxb_ref[...])
-    logits = _dot(ht, outw_ref[...]) + outb_ref[...]     # (B, Vp) f32
-    return logits, ht
+    return _context_out(x, cv, ctxw_ref, ctxb_ref, outw_ref, outb_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -266,12 +301,9 @@ def fused_beam_fits(L, Bc, N, H, E, A, T, Vp, weight_bytes=2):
 def fused_beam_chunk(L, B, N, H, E, A, T, Vp, weight_bytes=2):
     """Largest utterance chunk (divisor of B, multiple of 8) whose beam
     kernel fits; 0 if none."""
-    c = B
-    while c >= 8:
-        if c % 8 == 0 and B % c == 0 and fused_beam_fits(
-                L, c, N, H, E, A, T, Vp, weight_bytes):
+    for c in aligned_divisors(B):
+        if fused_beam_fits(L, c, N, H, E, A, T, Vp, weight_bytes):
             return c
-        c //= 2
     return 0
 
 
@@ -320,22 +352,10 @@ def _beam_kernel(L, Bc, N, K, H, E, A, T, Vp,
 
     @pl.when(jnp.logical_not(all_done))
     def _():
-        # ---- decode step for all R rows (LSTM stack + attention) ----
-        emb = _dot(oh_s[...], embed_ref[...])
-        x = jnp.concatenate([emb, ht_s[...]], axis=-1)
-        for l in range(L):
-            z = _dot(x, wx0_ref[...]) if l == 0 \
-                else _dot(x, wxr_ref[l - 1])
-            z = z + _dot(h_s[l], wh_ref[l]) + b_ref[l]
-            i = jax.nn.sigmoid(z[..., :H])
-            f = jax.nn.sigmoid(z[..., H:2 * H])
-            g = jnp.tanh(z[..., 2 * H:3 * H])
-            o = jax.nn.sigmoid(z[..., 3 * H:])
-            c_new = f * c_s[l] + i * g
-            h_new = o * jnp.tanh(c_new)
-            h_s[l] = h_new
-            c_s[l] = c_new
-            x = h_new
+        # ---- decode step for all R rows (shared LSTM stack; only the
+        # attention below is beam-specific) ----
+        x = _lstm_stack(L, H, wx0_ref, wxr_ref, wh_ref, b_ref,
+                        embed_ref, oh_s[...], ht_s[...], h_s, c_s)
 
         # attention: all N slots of an utt share its encoder rows, so
         # the enc block is UNTILED (Bc*T, H) and each slot index runs
@@ -350,9 +370,8 @@ def _beam_kernel(L, Bc, N, K, H, E, A, T, Vp,
             alphas_n = jax.nn.softmax(scores_n, axis=-1)
             cvs.append(_dot_c0(_diag_expand(alphas_n, Bc, T), enc2))
         cv = jnp.stack(cvs, axis=1).reshape(R, H)         # (R, H)
-        ctx_in = jnp.concatenate([cv, x], axis=-1)
-        ht = jnp.tanh(_dot(ctx_in, ctxw_ref[...]) + ctxb_ref[...])
-        logits = _dot(ht, outw_ref[...]) + outb_ref[...]  # (R, Vp)
+        logits, ht = _context_out(x, cv, ctxw_ref, ctxb_ref,
+                                  outw_ref, outb_ref)     # (R, Vp)
         logp = jax.nn.log_softmax(logits, axis=-1)
 
         # ---- top-K continuations per row: iterative masked argmax

@@ -422,18 +422,25 @@ def fused_fits(L, D2, B, H, weight_bytes=4):
     return est < VMEM_BUDGET
 
 
+def aligned_divisors(B):
+    """All divisors of ``B`` that are multiples of 8, descending.
+
+    The chunk searches below must consider every such divisor, not just
+    the halving chain B, B/2, B/4, ... — e.g. the dataloader's
+    tail-shrink batches can be 24 rows, whose only fitting chunk under a
+    tight VMEM budget is 8 (24 -> 12 -> 6 skips it)."""
+    return [c for c in range(B - B % 8, 7, -8) if B % c == 0]
+
+
 def fused_chunk_size(L, D2, B, H, weight_bytes=4):
     """Largest batch chunk (a divisor of B, multiple of 8) whose kernel
     fits in VMEM; 0 when none does.  Large batches (B=128) run the fused
     recurrence as a few independent chunk calls — batch rows don't
     interact inside the LSTM stack, so chunking is semantics-preserving
     (BatchNorm runs outside, in the conv front-end)."""
-    c = B
-    while c >= 8:
-        if c % 8 == 0 and B % c == 0 and fused_fits(L, D2, c, H,
-                                                    weight_bytes):
+    for c in aligned_divisors(B):
+        if fused_fits(L, D2, c, H, weight_bytes):
             return c
-        c //= 2
     return 0
 
 

@@ -37,6 +37,28 @@ def test_flagship_chunk_sizes():
     assert fused_fits(3, 2, 128, 256, 2)
 
 
+def test_chunk_search_covers_all_aligned_divisors():
+    """The search must consider every 8-aligned divisor, not just the
+    halving chain: tail-shrink batches can be 24 rows, whose divisor
+    chain is 24 -> 8 (12 is not 8-aligned; halving 24 -> 12 -> 6 would
+    miss 8 and fall back to the scan path)."""
+    from ast_tpu.ops.fused_lstm import aligned_divisors
+    assert aligned_divisors(24) == [24, 8]
+    assert aligned_divisors(128) == [128, 64, 32, 16, 8]
+    assert aligned_divisors(96) == [96, 48, 32, 24, 16, 8]
+    assert aligned_divisors(4) == []
+    # monkeypatch-free functional check: a fits predicate that accepts
+    # only chunk 8 must still be found from B=24
+    from ast_tpu.ops import fused_lstm
+
+    orig = fused_lstm.fused_fits
+    try:
+        fused_lstm.fused_fits = lambda L, D2, c, H, wb=4: c == 8
+        assert fused_lstm.fused_chunk_size(3, 2, 24, 256, 2) == 8
+    finally:
+        fused_lstm.fused_fits = orig
+
+
 def test_fused_eligible_across_all_recipe_buckets():
     """The recipe buckets 20 durations x 80 frames (max_sp 1680 frames
     -> T' up to 420 post-CNN).  Both kernels must stay fused-eligible

@@ -137,6 +137,69 @@ def test_read_wav_roundtrip(tmp_path):
                                atol=1e-6)
 
 
+def test_read_wav_24bit_and_width_validation(tmp_path):
+    """24-bit PCM decodes exactly; unknown widths raise instead of being
+    silently misread as unsigned 8-bit garbage."""
+    import wave
+    path = str(tmp_path / "t24.wav")
+    vals = np.array([0, 1, -1, 8388607, -8388608, 123456, -654321],
+                    dtype=np.int32)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(raw)
+    y = read_wav(path)
+    np.testing.assert_allclose(
+        y, vals.astype(np.float32) / 8388608.0, atol=1e-9)
+
+    # stdlib wave won't WRITE width-5 files, so hand-craft the RIFF
+    # header to exercise the reader's rejection path
+    import struct
+    payload = b"\x00" * 40
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                   8000 * 5, 5, 40)
+           + b"data" + struct.pack("<I", len(payload)) + payload)
+    bad = str(tmp_path / "t5.wav")
+    with open(bad, "wb") as f:
+        f.write(hdr)
+    with pytest.raises(ValueError, match="sample width"):
+        read_wav(bad)
+
+
+def test_channel_out_of_range_raises(tmp_path):
+    """A channel_map that names a channel the audio doesn't have must
+    fail loudly — slicing channel-mixed audio trains on the wrong
+    speaker's side."""
+    import wave
+    mono = str(tmp_path / "mono.wav")
+    with wave.open(mono, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.zeros(80, dtype="<i2").tobytes())
+    with pytest.raises(ValueError, match="channel 1"):
+        read_wav(mono, channel=1)
+
+    # mono 1-D .npy with a mapped non-zero channel via extract_segments
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    np.save(str(audio_dir / "reco1.npy"),
+            np.zeros(16000, dtype=np.float32))
+    seg = tmp_path / "segments"
+    seg.write_text("utt1 reco1 0.0 1.0\n")
+    from ast_tpu.data.wav_loader import extract_segments
+    with pytest.raises(ValueError, match="mono"):
+        extract_segments(str(seg), str(audio_dir), str(tmp_path / "out"),
+                         channel_map={"reco1": 1})
+    # channel 0 on mono audio is fine
+    n = extract_segments(str(seg), str(audio_dir), str(tmp_path / "out"),
+                         channel_map={"reco1": 0})
+    assert n == 1
+
+
 def _write_sph(path, data_bytes, coding="pcm", n_bytes=2, channels=1,
                n_samples=0, byte_format="01"):
     header = (
