@@ -1,0 +1,103 @@
+"""Export trained decode functions as portable serving artifacts.
+
+``python -m ast_tpu.cli.export_model -m <exp_dir> [--batch B]
+[--frames T1,T2] [--beam N,K] [-o DIR]``
+
+Loads the experiment's latest checkpoint (same auto-resume as the
+train/beam CLIs), exports batched greedy decode — and, with ``--beam``,
+beam decode — as self-contained StableHLO artifacts (weights baked in,
+pure-XLA paths; see ast_tpu/serving.py), one per (batch, frames) shape,
+plus ``manifest.json`` and a ``vocab.json`` id->token table so a server
+can detokenize without pickles or framework code.
+
+The reference has no deployment path at all (decode = the research CLI,
+reference: beam.py:45-147); this is a new TPU-native capability.
+"""
+
+import argparse
+import os
+
+import jax.numpy as jnp
+
+from ast_tpu import serving
+from ast_tpu.train.trainer import NN
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Export decode functions as StableHLO artifacts")
+    parser.add_argument("-m", "--cfg_path", required=True)
+    parser.add_argument("-o", "--out_dir", default=None,
+                        help="output dir (default <exp>/serving)")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--frames", default=None,
+                        help="comma-separated input frame counts; "
+                             "default: the longest bucket "
+                             "(buckets_num * buckets_width)")
+    parser.add_argument("--beam", default=None, metavar="N,K",
+                        help="additionally export beam decode at N,K")
+    parser.add_argument("--stop-limit", type=int, default=None,
+                        help="max decode steps (default data.max_pred)")
+    parser.add_argument("--platforms", default="cpu,tpu")
+    parser.add_argument("--dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype inside the artifact "
+                             "(default: the experiment's compute_dtype)")
+    args = parser.parse_args(argv)
+
+    nn = NN(args.cfg_path)
+    if nn.max_epoch == 0:
+        print("warning: no checkpoint found — exporting the random init")
+    data_cfg = nn.cfg.train["data"]
+    stop_limit = args.stop_limit or int(data_cfg["max_pred"])
+    platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
+    dtype = (jnp.bfloat16 if args.dtype == "bfloat16"
+             else jnp.float32 if args.dtype == "float32"
+             else nn.compute_dtype)
+    if args.frames:
+        frames = [int(t) for t in args.frames.split(",")]
+    else:
+        frames = [int(data_cfg["buckets_num"])
+                  * int(data_cfg["buckets_width"])]
+
+    out_dir = args.out_dir or os.path.join(nn.model_dir, "serving")
+    os.makedirs(out_dir, exist_ok=True)
+
+    entries = []
+    for T in frames:
+        exp = serving.export_greedy(
+            nn.params, nn.state, nn.mcfg, args.batch, T, stop_limit,
+            dtype, platforms)
+        fname = f"greedy_B{args.batch}_T{T}.jaxexp"
+        nbytes = serving.save_artifact(exp, os.path.join(out_dir, fname))
+        entries.append({"file": fname, "kind": "greedy",
+                        "batch": args.batch, "frames": T,
+                        "platforms": platforms, "bytes": nbytes})
+        print(f"exported {fname} ({nbytes} bytes, "
+              f"platforms={','.join(platforms)})")
+        if args.beam:
+            N, K = (int(v) for v in args.beam.split(","))
+            exp = serving.export_beam(
+                nn.params, nn.state, nn.mcfg, args.batch, T, N, K,
+                stop_limit, dtype, platforms)
+            fname = f"beam_N{N}_K{K}_B{args.batch}_T{T}.jaxexp"
+            nbytes = serving.save_artifact(
+                exp, os.path.join(out_dir, fname))
+            entries.append({"file": fname, "kind": "beam", "N": N, "K": K,
+                            "batch": args.batch, "frames": T,
+                            "platforms": platforms, "bytes": nbytes})
+            print(f"exported {fname} ({nbytes} bytes)")
+
+    dec_key = data_cfg["dec_key"]
+    vocab = nn.data_loader.vocab
+    i2w = (vocab["i2w"] if data_cfg.get("limit_vocab", False)
+           else vocab[dec_key]["i2w"])
+    mpath = serving.write_manifest(
+        out_dir, entries, nn.mcfg, stop_limit,
+        "bfloat16" if dtype == jnp.bfloat16 else "float32", i2w=i2w)
+    print(f"manifest: {mpath}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()

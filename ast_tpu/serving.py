@@ -1,0 +1,129 @@
+"""Portable inference artifacts via ``jax.export`` (StableHLO).
+
+The reference has no deployment story — decoding happens inside the
+research CLI with the full framework loaded (reference: beam.py:45-147,
+nn.py:202-233).  For serving, ast_tpu exports the decode functions as
+self-contained StableHLO artifacts: trained weights baked in as
+constants, one artifact per (batch, frames) shape (static shapes are
+the same TPU-native contract the training buckets use).  An artifact
+deserializes and runs from any JAX process — no model code, no config,
+no checkpoint loading — and can be lowered for several platforms at
+export time.
+
+Exports always take the pure-XLA decode paths (``lax.scan`` /
+``lax.while_loop``): the fused Mosaic kernels are platform-specific
+custom calls that would pin the artifact to one TPU generation.  The
+fused kernels remain the fast path for in-process decoding; the
+artifact trades their speed for portability and zero deploy-time
+dependencies on this package.
+"""
+
+import copy
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def _portable_mcfg(mcfg):
+    """Model config with every Pallas/Mosaic path forced off, so the
+    exported program is pure StableHLO (no platform-pinned custom
+    calls)."""
+    m = copy.deepcopy(mcfg)
+    rnn = m["rnn_config"]
+    rnn["fused_encoder"] = False
+    rnn["fused_decoder"] = False
+    rnn["fused_infer"] = False
+    rnn.pop("fused_interpret", None)
+    return m
+
+
+def export_greedy(params, state, mcfg, batch, frames, stop_limit,
+                  compute_dtype=jnp.float32, platforms=("cpu", "tpu"),
+                  in_dim=13):
+    """Export batched greedy decode as ``X (B, T, in_dim) f32 ->
+    (preds (B, stop_limit) i32, n_steps i32)`` with the weights baked in.
+
+    Returns a ``jax.export.Exported``; ``.serialize()`` it to bytes or
+    call it in-process via ``.call(X)``.
+    """
+    from ast_tpu.models import seq2seq
+
+    pmcfg = _portable_mcfg(mcfg)
+
+    def fn(X):
+        return seq2seq.predict_greedy(params, state, pmcfg, X,
+                                      stop_limit, compute_dtype)
+
+    spec = jax.ShapeDtypeStruct((batch, frames, in_dim), jnp.float32)
+    return jax_export.export(jax.jit(fn),
+                             platforms=list(platforms))(spec)
+
+
+def export_beam(params, state, mcfg, batch, frames, N, K, stop_limit,
+                compute_dtype=jnp.float32, platforms=("cpu", "tpu"),
+                in_dim=13):
+    """Export batched beam decode as ``X (B, T, in_dim) f32 ->
+    (hyps (B, N, stop_limit+1) i32, scores (B, N) f32,
+    lengths (B, N) i32)``.
+
+    Length-norm reranking (``score/(len-2)^W``) is a host-side scalar
+    pass over (scores, lengths) — ``ops.beam.get_best_hyps`` — kept out
+    of the artifact so W stays a deploy-time knob.
+    """
+    from ast_tpu.ops.beam import make_beam_decoder
+
+    pmcfg = _portable_mcfg(mcfg)
+    decode = make_beam_decoder(pmcfg, N, K, stop_limit, compute_dtype)
+
+    def fn(X):
+        return decode(params, state, X)
+
+    spec = jax.ShapeDtypeStruct((batch, frames, in_dim), jnp.float32)
+    return jax_export.export(jax.jit(fn),
+                             platforms=list(platforms))(spec)
+
+
+def save_artifact(exported, path):
+    """Serialize an ``Exported`` to ``path`` (atomic write)."""
+    blob = exported.serialize()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return len(blob)
+
+
+def load_artifact(path):
+    """Deserialize an artifact; run it via ``.call(X)``."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    return jax_export.deserialize(bytearray(blob))
+
+
+def write_manifest(out_dir, entries, mcfg, stop_limit, compute_dtype,
+                   i2w=None):
+    """Write ``manifest.json`` (+ optional ``vocab.json``) describing the
+    exported artifacts, so a server needs no pickles or framework code
+    to decode ids into tokens."""
+    manifest = {
+        "format": "jax.export StableHLO, weights baked in",
+        "input": "float32 (batch, frames, 13) CMVN'd MFCC features",
+        "symbols": {"PAD": 0, "GO": 1, "EOS": 2, "UNK": 3},
+        "dec_vocab_size": mcfg["rnn_config"]["dec_vocab_size"],
+        "stop_limit": stop_limit,
+        "compute_dtype": compute_dtype,
+        "entries": entries,
+    }
+    if i2w is not None:
+        vpath = os.path.join(out_dir, "vocab.json")
+        with open(vpath, "w") as f:
+            json.dump({int(i): (w.decode() if isinstance(w, bytes) else w)
+                       for i, w in i2w.items()}, f, indent=0)
+        manifest["vocab"] = "vocab.json"
+    mpath = os.path.join(out_dir, "manifest.json")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return mpath

@@ -1,0 +1,96 @@
+"""Serving-artifact export (ast_tpu/serving.py + cli/export_model.py).
+
+Pins the portability contract: an exported artifact deserializes from
+bytes alone and reproduces the in-process decoder's outputs exactly,
+and the CLI writes runnable artifacts + a framework-free manifest from
+an experiment directory.
+"""
+
+import copy
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from conftest import TINY_MODEL_CFG, make_tiny_experiment
+
+from ast_tpu import serving
+from ast_tpu.models import seq2seq
+
+
+def _mcfg(vocab=12):
+    m = copy.deepcopy(TINY_MODEL_CFG)
+    m["rnn_config"]["dec_vocab_size"] = vocab
+    return m
+
+
+def test_greedy_export_roundtrip(tmp_path):
+    mcfg = _mcfg()
+    params, state = seq2seq.init_model(jax.random.PRNGKey(0), mcfg)
+    B, T, stop = 4, 40, 8
+    X = np.random.RandomState(0).randn(B, T, 13).astype(np.float32)
+
+    exp = serving.export_greedy(params, state, mcfg, B, T, stop,
+                                platforms=("cpu",))
+    path = str(tmp_path / "greedy.jaxexp")
+    assert serving.save_artifact(exp, path) > 0
+
+    loaded = serving.load_artifact(path)
+    preds, n_steps = loaded.call(X)
+    ref_preds, ref_steps = seq2seq.predict_greedy(
+        params, state, serving._portable_mcfg(mcfg), X, stop)
+    np.testing.assert_array_equal(np.asarray(preds),
+                                  np.asarray(ref_preds))
+    assert int(n_steps) == int(ref_steps)
+
+
+def test_beam_export_roundtrip(tmp_path):
+    from ast_tpu.ops.beam import make_beam_decoder
+
+    mcfg = _mcfg()
+    params, state = seq2seq.init_model(jax.random.PRNGKey(1), mcfg)
+    B, T, N, K, stop = 2, 40, 2, 2, 6
+    X = np.random.RandomState(1).randn(B, T, 13).astype(np.float32)
+
+    exp = serving.export_beam(params, state, mcfg, B, T, N, K, stop,
+                              platforms=("cpu",))
+    path = str(tmp_path / "beam.jaxexp")
+    serving.save_artifact(exp, path)
+
+    hyps, scores, lengths = serving.load_artifact(path).call(X)
+    decode = make_beam_decoder(serving._portable_mcfg(mcfg), N, K, stop)
+    ref_hyps, ref_scores, ref_lengths = decode(params, state, X)
+    np.testing.assert_array_equal(np.asarray(hyps), np.asarray(ref_hyps))
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.asarray(ref_scores), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(lengths),
+                                  np.asarray(ref_lengths))
+
+
+def test_export_cli_writes_runnable_artifacts(tmp_path):
+    from ast_tpu.cli import export_model
+
+    exp_dir = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp_dir, "--batch", "2", "--frames", "40",
+         "--beam", "2,2", "--platforms", "cpu", "--dtype", "float32"])
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    kinds = sorted(e["kind"] for e in manifest["entries"])
+    assert kinds == ["beam", "greedy"]
+    assert manifest["symbols"]["EOS"] == 2
+
+    # the id->token table lets a server detokenize without pickles
+    with open(os.path.join(out, manifest["vocab"])) as f:
+        vocab = json.load(f)
+    assert vocab["1"] == "_GO"
+    assert len(vocab) == manifest["dec_vocab_size"]
+
+    greedy = next(e for e in manifest["entries"] if e["kind"] == "greedy")
+    loaded = serving.load_artifact(os.path.join(out, greedy["file"]))
+    X = np.random.RandomState(2).randn(2, 40, 13).astype(np.float32)
+    preds, _ = loaded.call(X)
+    assert np.asarray(preds).shape == (2, manifest["stop_limit"])
