@@ -94,7 +94,8 @@ def main(argv=None):
            else vocab[dec_key]["i2w"])
     mpath = serving.write_manifest(
         out_dir, entries, nn.mcfg, stop_limit,
-        "bfloat16" if dtype == jnp.bfloat16 else "float32", i2w=i2w)
+        "bfloat16" if dtype == jnp.bfloat16 else "float32", i2w=i2w,
+        dec_key=dec_key)
     print(f"manifest: {mpath}")
     return out_dir
 

@@ -1,0 +1,168 @@
+"""Minimal inference server over exported serving artifacts.
+
+``python -m ast_tpu.cli.serve -d <serving_dir> [--port 8000] [-w 0.6]``
+
+Serves the artifacts written by ``cli/export_model.py`` — no model
+code, config, or checkpoint loading: the directory's ``manifest.json``
++ ``vocab.json`` + ``.jaxexp`` blobs are the whole deployment unit
+(the reference's only decode path is the research CLI over a corpus
+pickle tree, reference: beam.py:45-147).
+
+Endpoints (JSON over HTTP, stdlib server):
+
+- ``GET /manifest`` — the manifest, plus the server's decode options.
+- ``POST /decode`` — body ``{"features": [[...], ...]}`` (one
+  utterance, ``(T, 13)`` CMVN'd MFCCs) or ``{"audio": [...]}``
+  (raw 8 kHz samples; framed to MFCC + per-utterance CMVN on the
+  server).  Optional ``"mode": "greedy"|"beam"`` (default: greedy if
+  exported, else beam) and ``"w"`` (beam length-norm weight).
+  Response: ``{"text": ..., "ids": [...], "mode": ..., "frames": T}``.
+
+One request is one decode over the artifact's full static batch (the
+remaining rows are padding) — batching across requests is a deployment
+concern this demo keeps out of scope.
+"""
+
+import argparse
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ast_tpu import serving
+from ast_tpu.ops.beam import rerank_hypothesis
+
+
+def _detok(ids, vocab, dec_key, n_special=4):
+    toks = [vocab[str(i)] for i in ids if i >= n_special]
+    join = " " if dec_key.endswith("_w") else ""
+    text = join.join(toks)
+    if "bpe_w" in dec_key:
+        text = text.replace("@@ ", "")
+    return " ".join(text.strip().split())
+
+
+class ArtifactServer:
+    """Loads a serving dir; decodes single utterances."""
+
+    def __init__(self, serving_dir):
+        self.dir = serving_dir
+        with open(os.path.join(serving_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        with open(os.path.join(serving_dir, self.manifest["vocab"])) as f:
+            self.vocab = json.load(f)
+        self.entries = {"greedy": [], "beam": []}
+        self.artifacts = {}
+        for e in self.manifest["entries"]:
+            self.entries[e["kind"]].append(e)
+            self.artifacts[e["file"]] = serving.load_artifact(
+                os.path.join(serving_dir, e["file"]))
+        for v in self.entries.values():         # smallest fitting shape first
+            v.sort(key=lambda e: (e["frames"], e["batch"]))
+        self._mfcc = None
+        self._lock = threading.Lock()           # one decode at a time
+
+    def _features(self, body):
+        if "features" in body:
+            x = np.asarray(body["features"], np.float32)
+            if x.ndim != 2:
+                raise ValueError("features must be a (T, n_ceps) matrix")
+            return x
+        if "audio" in body:
+            from ast_tpu.ops.fbank import (MfccExtractor, apply_cmvn,
+                                           compute_cmvn_stats)
+            if self._mfcc is None:
+                self._mfcc = MfccExtractor()
+            feats = np.asarray(
+                self._mfcc(np.asarray(body["audio"], np.float32)),
+                np.float32)
+            return np.asarray(apply_cmvn(feats,
+                                         compute_cmvn_stats([feats])),
+                              np.float32)
+        raise ValueError("body must carry 'features' or 'audio'")
+
+    def decode(self, body):
+        x = self._features(body)
+        mode = body.get("mode") or (
+            "greedy" if self.entries["greedy"] else "beam")
+        options = self.entries.get(mode)
+        if not options:
+            raise ValueError(f"no {mode!r} artifact exported")
+        entry = next((e for e in options if e["frames"] >= x.shape[0]),
+                     options[-1])
+        T, B = entry["frames"], entry["batch"]
+        X = np.zeros((B, T, x.shape[1]), np.float32)
+        X[0, : min(T, x.shape[0])] = x[:T]
+        with self._lock:
+            out = self.artifacts[entry["file"]].call(X)
+        if mode == "greedy":
+            ids = [int(i) for i in np.asarray(out[0])[0]]
+        else:
+            hyps, scores, lengths = (np.asarray(a) for a in out)
+            entries = [(hyps[0, n, : int(lengths[0, n])].tolist(),
+                        float(scores[0, n]))
+                       for n in range(hyps.shape[1])]
+            w = float(body.get("w", 0.6))
+            ids = [int(i) for i in rerank_hypothesis(entries, w)[0][0]]
+        return {"text": _detok(ids, self.vocab, self.manifest["dec_key"]),
+                "ids": ids, "mode": mode, "frames": int(x.shape[0]),
+                "artifact": entry["file"]}
+
+
+def make_server(serving_dir, port=0, host="127.0.0.1"):
+    """Build (ThreadingHTTPServer, ArtifactServer); caller runs
+    ``serve_forever`` (the CLI) or a thread (tests)."""
+    state = ArtifactServer(serving_dir)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):              # quiet by default
+            pass
+
+        def _reply(self, code, obj):
+            blob = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def do_GET(self):
+            if self.path == "/manifest":
+                self._reply(200, state.manifest)
+            else:
+                self._reply(404, {"error": "GET /manifest or POST /decode"})
+
+        def do_POST(self):
+            if self.path != "/decode":
+                self._reply(404, {"error": "POST /decode"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                self._reply(200, state.decode(body))
+            except (ValueError, KeyError) as e:
+                self._reply(400, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler), state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Serve exported decode artifacts over HTTP")
+    parser.add_argument("-d", "--serving_dir", required=True,
+                        help="directory written by cli/export_model.py")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--host", default="127.0.0.1")
+    args = parser.parse_args(argv)
+
+    httpd, state = make_server(args.serving_dir, args.port, args.host)
+    kinds = {k: len(v) for k, v in state.entries.items() if v}
+    print(f"serving {kinds} artifacts from {args.serving_dir} "
+          f"on http://{args.host}:{httpd.server_address[1]}", flush=True)
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

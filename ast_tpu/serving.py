@@ -104,15 +104,19 @@ def load_artifact(path):
 
 
 def write_manifest(out_dir, entries, mcfg, stop_limit, compute_dtype,
-                   i2w=None):
+                   i2w=None, dec_key="bpe_w"):
     """Write ``manifest.json`` (+ optional ``vocab.json``) describing the
     exported artifacts, so a server needs no pickles or framework code
-    to decode ids into tokens."""
+    to decode ids into tokens.  ``dec_key`` records the target unit so
+    detokenization joins correctly (``*_w`` word units join with
+    spaces, char units join bare; ``bpe_w`` additionally merges ``@@ ``
+    — the dataloader's get_hyps contract)."""
     manifest = {
         "format": "jax.export StableHLO, weights baked in",
         "input": "float32 (batch, frames, 13) CMVN'd MFCC features",
         "symbols": {"PAD": 0, "GO": 1, "EOS": 2, "UNK": 3},
         "dec_vocab_size": mcfg["rnn_config"]["dec_vocab_size"],
+        "dec_key": dec_key,
         "stop_limit": stop_limit,
         "compute_dtype": compute_dtype,
         "entries": entries,

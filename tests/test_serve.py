@@ -1,0 +1,74 @@
+"""HTTP serving demo (ast_tpu/cli/serve.py) over exported artifacts.
+
+Pins: a decode request against the running server returns exactly the
+in-process decoder's text; beam mode reranks; malformed bodies get 400.
+"""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+
+from conftest import make_tiny_experiment
+
+from ast_tpu.cli import export_model, serve
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_serve_decodes_over_http(tmp_path):
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--beam", "2,2", "--platforms", "cpu", "--dtype", "float32"])
+
+    httpd, state = serve.make_server(out, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(base + "/manifest") as r:
+            manifest = json.loads(r.read())
+        assert manifest["dec_key"] == "en_w"
+
+        speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+        f = sorted(os.listdir(speech))[0]
+        x = np.load(os.path.join(speech, f))[:60]
+
+        status, got = _post(base + "/decode",
+                            {"features": x.tolist(), "mode": "greedy"})
+        assert status == 200
+        assert got["text"] == state.decode(
+            {"features": x.tolist(), "mode": "greedy"})["text"]
+        # server text == detok of the raw ids it returned
+        assert got["text"] == serve._detok(
+            got["ids"], state.vocab, "en_w")
+
+        status, beam = _post(base + "/decode",
+                             {"features": x.tolist(), "mode": "beam",
+                              "w": 0.6})
+        assert status == 200 and beam["mode"] == "beam"
+        assert beam["artifact"].startswith("beam_")
+
+        # audio body goes through MFCC+CMVN on the server
+        status, got = _post(base + "/decode",
+                            {"audio": (np.random.RandomState(0)
+                                       .randn(4000) * 0.1).tolist()})
+        assert status == 200 and isinstance(got["text"], str)
+
+        status, err = _post(base + "/decode", {"nonsense": 1})
+        assert status == 400 and "features" in err["error"]
+    finally:
+        httpd.shutdown()
