@@ -426,6 +426,22 @@ def main():
     import sys
     t0 = time.time()
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "2700"))
+    # Fast-fail on a dead device backend: probing in a SUBPROCESS (a
+    # wedged in-process backend init cannot be recovered from, see
+    # __graft_entry__._default_backend_alive) keeps the one-line JSON
+    # contract within ~90 s of a dead tunnel instead of waiting out the
+    # full watchdog deadline.
+    from __graft_entry__ import _default_backend_alive
+    if not _default_backend_alive():
+        emit_once({
+            "metric": ("fisher_es_en_20h_full_epoch_train"
+                       if "--epoch" in sys.argv
+                       else "fisher_es_en_20h_train_step"),
+            "value": 0.0, "unit": "utts/sec/chip",
+            "config": "device backend unreachable (remote-TPU tunnel "
+                      "down); no measurement",
+        })
+        return
     if "--epoch" in sys.argv:
         def epoch_payload(dt, ups, sps):
             return {
