@@ -32,8 +32,13 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--frames", default=None,
                         help="comma-separated input frame counts; "
-                             "default: the longest bucket "
-                             "(buckets_num * buckets_width)")
+                             "default: a 4-step ladder over the bucket "
+                             "range (quarter points + the longest-"
+                             "bucket cap), so short inputs are not "
+                             "padded to the maximum length — the model "
+                             "attends over padding unmasked, and "
+                             "training bounds padding to a bucket "
+                             "width")
     parser.add_argument("--beam", default=None, metavar="N,K",
                         help="additionally export beam decode at N,K")
     parser.add_argument("--stop-limit", type=int, default=None,
@@ -57,8 +62,14 @@ def main(argv=None):
     if args.frames:
         frames = [int(t) for t in args.frames.split(",")]
     else:
-        frames = [int(data_cfg["buckets_num"])
-                  * int(data_cfg["buckets_width"])]
+        n = int(data_cfg["buckets_num"])
+        w = int(data_cfg["buckets_width"])
+        # quarter-point ladder + the trainer's truncation cap
+        # ((n+1)*w, dataloader max_sp) — the serving/infer selectors
+        # pick the smallest fitting shape, keeping unmasked-attention
+        # padding mass near training conditions
+        frames = sorted({max(1, round(n * f)) * w
+                         for f in (0.25, 0.5, 0.75)} | {(n + 1) * w})
 
     out_dir = args.out_dir or os.path.join(nn.model_dir, "serving")
     os.makedirs(out_dir, exist_ok=True)
@@ -89,9 +100,7 @@ def main(argv=None):
             print(f"exported {fname} ({nbytes} bytes)")
 
     dec_key = data_cfg["dec_key"]
-    vocab = nn.data_loader.vocab
-    i2w = (vocab["i2w"] if data_cfg.get("limit_vocab", False)
-           else vocab[dec_key]["i2w"])
+    i2w = nn.data_loader.dec_i2w
     mpath = serving.write_manifest(
         out_dir, entries, nn.mcfg, stop_limit,
         "bfloat16" if dtype == jnp.bfloat16 else "float32", i2w=i2w,

@@ -10,13 +10,15 @@ pickle tree, reference: beam.py:45-147).
 
 Endpoints (JSON over HTTP, stdlib server):
 
-- ``GET /manifest`` — the manifest, plus the server's decode options.
+- ``GET /manifest`` — the manifest, plus ``server.default_w``.
 - ``POST /decode`` — body ``{"features": [[...], ...]}`` (one
   utterance, ``(T, 13)`` CMVN'd MFCCs) or ``{"audio": [...]}``
   (raw 8 kHz samples; framed to MFCC + per-utterance CMVN on the
   server).  Optional ``"mode": "greedy"|"beam"`` (default: greedy if
-  exported, else beam) and ``"w"`` (beam length-norm weight).
-  Response: ``{"text": ..., "ids": [...], "mode": ..., "frames": T}``.
+  exported, else beam) and ``"w"`` (beam length-norm weight, default
+  the CLI's ``-w``).  Response: ``{"text", "ids", "mode", "frames",
+  "artifact"}`` plus ``truncated_to_frames`` when the input exceeds
+  every exported shape (only that prefix was decoded).
 
 One request is one decode over the artifact's full static batch (the
 remaining rows are padding) — batching across requests is a deployment
@@ -32,23 +34,20 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from ast_tpu import serving
+from ast_tpu.data.detok import ids_to_text
 from ast_tpu.ops.beam import rerank_hypothesis
 
 
-def _detok(ids, vocab, dec_key, n_special=4):
-    toks = [vocab[str(i)] for i in ids if i >= n_special]
-    join = " " if dec_key.endswith("_w") else ""
-    text = join.join(toks)
-    if "bpe_w" in dec_key:
-        text = text.replace("@@ ", "")
-    return " ".join(text.strip().split())
+def _detok(ids, vocab, dec_key):
+    return ids_to_text(ids, lambda i: vocab[str(i)], dec_key)
 
 
 class ArtifactServer:
     """Loads a serving dir; decodes single utterances."""
 
-    def __init__(self, serving_dir):
+    def __init__(self, serving_dir, default_w=0.6):
         self.dir = serving_dir
+        self.default_w = default_w
         with open(os.path.join(serving_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         with open(os.path.join(serving_dir, self.manifest["vocab"])) as f:
@@ -104,17 +103,21 @@ class ArtifactServer:
             entries = [(hyps[0, n, : int(lengths[0, n])].tolist(),
                         float(scores[0, n]))
                        for n in range(hyps.shape[1])]
-            w = float(body.get("w", 0.6))
+            w = float(body.get("w", self.default_w))
             ids = [int(i) for i in rerank_hypothesis(entries, w)[0][0]]
-        return {"text": _detok(ids, self.vocab, self.manifest["dec_key"]),
+        resp = {"text": _detok(ids, self.vocab, self.manifest["dec_key"]),
                 "ids": ids, "mode": mode, "frames": int(x.shape[0]),
                 "artifact": entry["file"]}
+        if x.shape[0] > T:
+            # no exported shape fits: only the first T frames decoded
+            resp["truncated_to_frames"] = T
+        return resp
 
 
-def make_server(serving_dir, port=0, host="127.0.0.1"):
+def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6):
     """Build (ThreadingHTTPServer, ArtifactServer); caller runs
     ``serve_forever`` (the CLI) or a thread (tests)."""
-    state = ArtifactServer(serving_dir)
+    state = ArtifactServer(serving_dir, default_w=default_w)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):              # quiet by default
@@ -130,7 +133,8 @@ def make_server(serving_dir, port=0, host="127.0.0.1"):
 
         def do_GET(self):
             if self.path == "/manifest":
-                self._reply(200, state.manifest)
+                self._reply(200, dict(state.manifest,
+                                      server={"default_w": state.default_w}))
             else:
                 self._reply(404, {"error": "GET /manifest or POST /decode"})
 
@@ -142,7 +146,7 @@ def make_server(serving_dir, port=0, host="127.0.0.1"):
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 self._reply(200, state.decode(body))
-            except (ValueError, KeyError) as e:
+            except (ValueError, KeyError, TypeError) as e:
                 self._reply(400, {"error": str(e)})
 
     return ThreadingHTTPServer((host, port), Handler), state
@@ -155,9 +159,13 @@ def main(argv=None):
                         help="directory written by cli/export_model.py")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("-w", "--W", type=float, default=0.6,
+                        help="default beam length-norm weight "
+                             "(per-request 'w' overrides)")
     args = parser.parse_args(argv)
 
-    httpd, state = make_server(args.serving_dir, args.port, args.host)
+    httpd, state = make_server(args.serving_dir, args.port, args.host,
+                               default_w=args.W)
     kinds = {k: len(v) for k, v in state.entries.items() if v}
     print(f"serving {kinds} artifacts from {args.serving_dir} "
           f"on http://{args.host}:{httpd.server_address[1]}", flush=True)

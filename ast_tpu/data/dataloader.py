@@ -303,28 +303,31 @@ class DataLoader:
     # ------------------------------------------------------------------
     # detokenization
     # ------------------------------------------------------------------
+    @property
+    def dec_i2w(self):
+        """The decoder-side id->token table (limit_vocab-aware)."""
+        return (self.vocab["i2w"]
+                if self.data_cfg.get("limit_vocab", False)
+                else self.vocab[self.data_cfg["dec_key"]]["i2w"])
+
     def get_hyps(self, preds):
         """id sequences -> word lists, keyed by utt.
 
-        Matches reference semantics exactly: specials (< 4) are dropped
+        Matches reference semantics exactly (the shared contract lives
+        in :mod:`ast_tpu.data.detok`): specials (< 4) are dropped
         wherever they occur, tokens after EOS are *kept* (the reference's
         EOS truncation is commented out), BPE joiners are merged.
         """
+        from ast_tpu.data.detok import ids_to_text
+
         dec_key = self.data_cfg["dec_key"]
-        join_str = " " if dec_key.endswith("_w") else ""
-        i2w = (self.vocab["i2w"]
-               if self.data_cfg.get("limit_vocab", False)
-               else self.vocab[dec_key]["i2w"])
+        i2w = self.dec_i2w
         en_hyps = {}
         for utt, p in preds:
             en_hyps[utt] = []
             if isinstance(p, (list, tuple)):
-                t_str = join_str.join(
-                    i2w[i].decode() for i in p if i >= SYMBOLS.N_SPECIAL
-                )
-                if "bpe_w" in dec_key:
-                    t_str = t_str.replace("@@ ", "")
-                en_hyps[utt].extend(t_str.strip().split())
+                en_hyps[utt].extend(ids_to_text(
+                    p, lambda i: i2w[i].decode(), dec_key).split())
         return en_hyps
 
 

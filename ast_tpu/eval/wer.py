@@ -56,6 +56,16 @@ def corpus_wer(refs, hyps):
     missing from ``hyps`` score as fully deleted (Kaldi's behavior for
     empty hypotheses).
     """
+    unknown = sorted(set(hyps) - set(refs))
+    if unknown:
+        # Kaldi's compute-wer errors on unmatched utterance sets in its
+        # default strict mode; silently ignoring them would both hide
+        # the stray hypotheses' errors AND score their references as
+        # all-deletions — fail loudly instead.
+        raise ValueError(
+            f"{len(unknown)} hypothesis utterance(s) not in the "
+            f"references (first few: {unknown[:5]}); fix the id "
+            "mismatch or drop the stray entries")
     tot = {"sub": 0, "ins": 0, "del": 0, "n_ref": 0}
     per_utt = {}
     for utt, ref in refs.items():
@@ -99,6 +109,12 @@ def _read_hyps(path, ids_path):
         ids = [line.strip() for line in f if line.strip()]
     with open(path, encoding="utf-8") as f:
         lines = [line.strip() for line in f]
+    while lines and not lines[-1]:
+        lines.pop()                       # trailing blank lines are fine
+    if len(lines) > len(ids):
+        raise ValueError(
+            f"{path}: {len(lines)} hypothesis lines but only "
+            f"{len(ids)} ids in {ids_path} — wrong split or ids file")
     if len(lines) < len(ids):
         lines += [""] * (len(ids) - len(lines))
     return {u: line.split() for u, line in zip(ids, lines)}

@@ -436,7 +436,7 @@ def main():
         emit_once({
             "metric": ("fisher_es_en_20h_full_epoch_train"
                        if "--epoch" in sys.argv
-                       else "fisher_es_en_20h_train_step"),
+                       else "fisher_es_en_20h_train_utts_per_sec_per_chip"),
             "value": 0.0, "unit": "utts/sec/chip",
             "config": "device backend unreachable (remote-TPU tunnel "
                       "down); no measurement",

@@ -70,5 +70,21 @@ def test_serve_decodes_over_http(tmp_path):
 
         status, err = _post(base + "/decode", {"nonsense": 1})
         assert status == 400 and "features" in err["error"]
+
+        # malformed array -> 400, not a dropped connection
+        status, err = _post(base + "/decode", {"features": {"a": 1}})
+        assert status == 400
+
+        # input longer than every exported shape -> decoded prefix,
+        # flagged
+        long_x = np.zeros((200, 13), np.float32)
+        status, got = _post(base + "/decode",
+                            {"features": long_x.tolist()})
+        assert status == 200 and got["truncated_to_frames"] == 60
+        assert got["frames"] == 200
+
+        # manifest carries the server's decode defaults
+        with urllib.request.urlopen(base + "/manifest") as r:
+            assert json.loads(r.read())["server"]["default_w"] == 0.6
     finally:
         httpd.shutdown()

@@ -69,6 +69,21 @@ def test_beam_export_roundtrip(tmp_path):
                                   np.asarray(ref_lengths))
 
 
+def test_export_cli_default_frames_ladder(tmp_path):
+    """No --frames: a quarter-point ladder + the trainer's truncation
+    cap, so serving padding stays near training conditions (tiny exp:
+    4 buckets x 50 -> [50, 100, 150, 250])."""
+    from ast_tpu.cli import export_model
+
+    exp_dir = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp_dir, "--batch", "1", "--platforms", "cpu",
+         "--dtype", "float32"])
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert [e["frames"] for e in manifest["entries"]] == [50, 100, 150, 250]
+
+
 def test_export_cli_writes_runnable_artifacts(tmp_path):
     from ast_tpu.cli import export_model
 

@@ -47,3 +47,24 @@ def test_trn_roundtrip_and_cli(tmp_path):
     stats2 = wer.main([str(refs), str(hyp_txt), "--ids", str(ids),
                        "--per-utt"])
     assert stats2["errors"] == 1 and stats2["wer"] == stats["wer"]
+
+
+def test_wer_rejects_mismatched_inputs(tmp_path):
+    refs = {"u1": ["a"]}
+    try:
+        wer.corpus_wer(refs, {"u1": ["a"], "uX": ["b"]})
+    except ValueError as e:
+        assert "uX" in str(e)
+    else:
+        raise AssertionError("stray hypothesis utt should be rejected")
+
+    ids = tmp_path / "eval.ids"
+    ids.write_text("u1\n")
+    hyp = tmp_path / "hyp.en"
+    hyp.write_text("a\nb\n")           # more lines than ids
+    try:
+        wer._read_hyps(str(hyp), str(ids))
+    except ValueError as e:
+        assert "2 hypothesis lines" in str(e)
+    else:
+        raise AssertionError("extra hyp lines should be rejected")
