@@ -121,6 +121,44 @@ def test_native_parser_matches_python(tmp_path, ark_items):
         np.testing.assert_allclose(m1, m2, rtol=1e-5)
 
 
+def test_native_parser_fuzz_exact_agreement(tmp_path):
+    """Randomized arks: the C++ parser must agree with the Python parser
+    BIT-exactly (both produce float32 from the same text), across random
+    shapes, scientific notation, subnormals, negative zero, and extreme
+    magnitudes."""
+    from ast_tpu.native import fast_text_ark
+    if fast_text_ark is None:
+        pytest.skip("native parser unavailable (no g++)")
+    rng = np.random.RandomState(1234)
+    for trial in range(10):
+        D = int(rng.randint(1, 40))
+        items = []
+        for k in range(int(rng.randint(1, 6))):
+            T = int(rng.randint(1, 30))
+            mat = (rng.randn(T, D) *
+                   10.0 ** rng.randint(-30, 30, (T, D))).astype(np.float32)
+            # sprinkle edge values
+            flat = mat.ravel()
+            idx = rng.randint(0, flat.size, min(6, flat.size))
+            flat[idx] = np.array(
+                [0.0, -0.0, 1e-38, -1e38, 3.4e38, 1.1754944e-38],
+                np.float32)[: len(idx)]
+            items.append((f"utt_{trial}-{k}-x", mat))
+        path = str(tmp_path / f"fuzz{trial}.ark")
+        with open(path, "w") as f:
+            for utt, mat in items:
+                f.write(f"{utt}  [\n")
+                for i, row in enumerate(mat):
+                    tail = " ]" if i == len(mat) - 1 else ""
+                    f.write("  " + " ".join(repr(float(v)) for v in row)
+                            + tail + "\n")
+        py = list(kaldi_ark._read_text_ark_py(path))
+        cc = list(fast_text_ark(path))
+        assert [u for u, _ in py] == [u for u, _ in cc]
+        for (_, m1), (_, m2) in zip(py, cc):
+            np.testing.assert_array_equal(m1, m2)
+
+
 def test_ragged_ark_falls_back_to_python(tmp_path):
     """Mixed-dims arks bypass the flat C++ layout instead of misaligning.
 
