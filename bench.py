@@ -19,6 +19,7 @@ Two baselines are measured and reported (BASELINE.md caveats):
   upper bound.
 """
 
+import functools
 import json
 import os
 import threading
@@ -112,13 +113,16 @@ def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
                 body, (params, state, opt_state), (Xs, ys, keys))
             return params, state, opt_state, losses[-1]
 
-        call = jax.jit(multi)
+        # donate like the trainer does (trainer.py donate=(0,1,2)): XLA
+        # aliases params/opt-state updates in place instead of writing
+        # fresh ~400 MB of param+moment buffers per call
+        call = jax.jit(multi, donate_argnums=(0, 1, 2))
     else:
         def single(params, state, opt_state, i):
             return step(params, state, opt_state, X, y,
                         jax.random.fold_in(key, i))
 
-        call = jax.jit(single)
+        call = jax.jit(single, donate_argnums=(0, 1, 2))
 
     # compile + warm-up.  NOTE: on this TPU runtime block_until_ready()
     # does not reliably wait for remote compute — every timed region must
@@ -266,7 +270,7 @@ def bench_epoch(B=32, G=4, compute_dtype=jnp.bfloat16, result_box=None):
         Xs = jnp.broadcast_to(X, (g,) + X.shape)
         ys = jnp.broadcast_to(y, (g,) + y.shape)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def multi(params, state, opt_state, i):
             keys = jax.random.split(jax.random.fold_in(base, i), g)
 
