@@ -6,13 +6,17 @@ Kaldi binaries + kaldi_io.py + prep_speech_segments.py + preprocess_gp.py
 stripped data blobs (fisher.map / *.info — .MISSING_LARGE_BLOBS) are
 regenerable end to end:
 
-  ark-to-conv    text ark -> per-conversation .np pickles (C++ fast path)
-  merge-segments conversation pickles + segment lists -> per-utt .npy
-  mfcc           raw audio dir -> per-utt MFCC .npy (on-device extractor)
-  pack-features  per-utt .npy dir -> one mmap-able .pack file
-  cmvn           feature dir + utt2spk -> cmvn.stats pickle
-  learn-bpe      tokenized text -> BPE codes
-  build-dicts    corpus dir -> map/vocab/info/data pickles + refs
+  ark-to-conv      text ark -> per-conversation .np pickles (C++ fast path)
+  extract-segments Kaldi segments table + conversation audio -> per-utt audio
+  merge-segments   conversation pickles + segment lists -> per-utt .npy
+  mfcc             raw audio dir -> per-utt MFCC .npy (on-device extractor)
+  bnf              features -> nnet2 bottleneck features
+  pack-features    per-utt .npy dir -> one mmap-able .pack file
+  cmvn             feature dir + utt2spk -> cmvn.stats pickle
+  learn-bpe        tokenized text -> BPE codes
+  build-dicts      corpus dir -> map/vocab/info/data pickles + refs
+  meteor-refs      ref.en0..N-1 -> METEOR multi-ref layout
+  validate         corpus consistency check (+ --fix in-place repair)
 
 Usage: python -m ast_tpu.cli.prep_data <subcommand> [args]
 """
@@ -213,6 +217,43 @@ def cmd_meteor_refs(args):
     print(f"wrote METEOR {args.n_evals}-ref file: {out}")
 
 
+def cmd_validate(args):
+    """Corpus consistency check + optional in-place repair (the
+    reference pipeline's validate_data_dir.sh / fix_data_dir.sh step,
+    reference: linking_files/fisher/kaldi/train_all.sh:35-36)."""
+    import json
+
+    from ast_tpu.data.validate import fix_corpus, validate_corpus
+    cfg_path = os.path.join(args.exp_dir, "train_cfg.json")
+    if not os.path.exists(cfg_path):
+        sys.exit(f"error: no train_cfg.json under {args.exp_dir}")
+    with open(cfg_path) as f:
+        train_cfg = json.load(f)
+    sets = args.sets.split(",") if args.sets else None
+
+    if args.fix:
+        result = fix_corpus(train_cfg, sets=sets, deep=not args.no_feats)
+        print(f"fix: dropped {result['dropped']} utterances, repaired "
+              f"{result['repaired']} frame counts, filtered "
+              f"{result['refs_filtered']} refs lines"
+              + (" (originals saved as .bak)"
+                 if result["dropped"] or result["repaired"] else ""))
+
+    problems, summary = validate_corpus(
+        train_cfg, sets=sets, check_features=not args.no_feats,
+        deep=args.deep or args.fix)
+    for p in problems:
+        print(p)
+    for set_key, stats in summary["sets"].items():
+        extra = (f", OOV {stats['oov_rate']:.1%}" if "oov_rate" in stats
+                 else "")
+        print(f"{set_key}: {stats['n_info']} utts in info, "
+              f"{stats['n_map']} in map{extra}")
+    print(f"{summary['n_errors']} errors, {summary['n_warnings']} warnings")
+    if summary["n_errors"]:
+        sys.exit(1)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -296,6 +337,25 @@ def main(argv=None):
     p.add_argument("--n_evals", type=int, default=4)
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_meteor_refs)
+
+    p = sub.add_parser(
+        "validate",
+        help="corpus consistency check + optional --fix repair "
+             "(validate_data_dir.sh / fix_data_dir.sh equivalent)")
+    p.add_argument("exp_dir", help="experiment dir with train_cfg.json")
+    p.add_argument("--sets", default=None,
+                   help="comma list of split keys (default: every split "
+                        "in the info pickle)")
+    p.add_argument("--deep", action="store_true",
+                   help="load EVERY feature file (default: existence "
+                        "checks + a small random sample per split)")
+    p.add_argument("--no-feats", action="store_true",
+                   help="skip the speech-source checks")
+    p.add_argument("--fix", action="store_true",
+                   help="drop inconsistent utterances and repair stale "
+                        "frame counts in place (map/info rewritten, "
+                        ".bak backups)")
+    p.set_defaults(fn=cmd_validate)
 
     p = sub.add_parser("build-dicts")
     p.add_argument("in_path")
