@@ -25,6 +25,7 @@ import numpy as np
 
 from ast_tpu.ops import beam as beam_ops
 from ast_tpu.ops.fbank import MfccExtractor, apply_cmvn, compute_cmvn_stats
+from ast_tpu.symbols import SYMBOLS
 from ast_tpu.train.trainer import NN
 
 
@@ -159,7 +160,14 @@ def main(argv=None):
             else:
                 p = np.asarray(greedy(nn.params, nn.state, X))
                 for j, (utt, _) in enumerate(chunk):
-                    preds[utt] = p[j].tolist()
+                    # cut each file's ids at its own first EOS: batch
+                    # mates finish at different steps and post-EOS
+                    # argmax is babble conditioned past the sentence
+                    # (corpus decode keeps it for reference parity; a
+                    # transcription tool must not)
+                    eos = np.nonzero(p[j] == SYMBOLS.EOS_ID)[0]
+                    preds[utt] = (p[j][: eos[0]] if eos.size
+                                  else p[j]).tolist()
 
     hyps = nn.data_loader.get_hyps(preds.items())
     lines = []

@@ -232,16 +232,20 @@ def cmd_validate(args):
     sets = args.sets.split(",") if args.sets else None
 
     if args.fix:
-        result = fix_corpus(train_cfg, sets=sets, deep=not args.no_feats)
+        result = fix_corpus(train_cfg, sets=sets, deep=not args.no_feats,
+                            check_features=not args.no_feats)
         print(f"fix: dropped {result['dropped']} utterances, repaired "
               f"{result['repaired']} frame counts, filtered "
               f"{result['refs_filtered']} refs lines"
               + (" (originals saved as .bak)"
                  if result["dropped"] or result["repaired"] else ""))
 
+    # the post-fix confirmation pass is sampled unless --deep was asked
+    # for explicitly: fix_corpus already deep-read every feature file,
+    # and a second full read doubles hours of I/O at 160h scale
     problems, summary = validate_corpus(
         train_cfg, sets=sets, check_features=not args.no_feats,
-        deep=args.deep or args.fix)
+        deep=args.deep)
     for p in problems:
         print(p)
     for set_key, stats in summary["sets"].items():

@@ -97,7 +97,15 @@ class ArtifactServer:
         with self._lock:
             out = self.artifacts[entry["file"]].call(X)
         if mode == "greedy":
-            ids = [int(i) for i in np.asarray(out[0])[0]]
+            raw = np.asarray(out[0])[0]
+            # cut at the utterance's own first EOS: the artifact's
+            # static-batch zero-padding rows keep the decode loop alive
+            # past it, and post-EOS argmax is babble conditioned beyond
+            # the sentence (corpus decode keeps those tokens for
+            # reference parity; a served transcript must not).  The beam
+            # path already truncates via its per-hyp lengths.
+            eos = np.nonzero(raw == 2)[0]  # manifest symbols: EOS=2
+            ids = [int(i) for i in (raw[: eos[0]] if eos.size else raw)]
         else:
             hyps, scores, lengths = (np.asarray(a) for a in out)
             entries = [(hyps[0, n, : int(lengths[0, n])].tolist(),

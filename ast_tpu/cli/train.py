@@ -83,11 +83,14 @@ def main(argv=None):
         # a SIGTERM that lands between the batch loop and the epoch's
         # eval phases would otherwise run the full dev decode + BLEU and
         # only stop at the next epoch's batch loop (or be lost entirely
-        # after the final epoch) — check at each phase boundary; the
-        # epoch-boundary inflight marker written by train_epoch already
-        # covers the state
+        # after the final epoch) — check at each phase boundary, and
+        # checkpoint the finished epoch before exiting: with the default
+        # config (no in-epoch snapshots) nothing else persists it, and
+        # the periodic nn.save below may not be due this epoch
         if nn.preempt_pending():
-            print("preempted after training phase; exiting cleanly")
+            print("preempted after training phase; saving epoch "
+                  "checkpoint and exiting cleanly")
+            nn.save(epoch)
             return
 
         preds = nn.predict(dev_key)
@@ -102,12 +105,15 @@ def main(argv=None):
         nn.timer.reset()
         print("-" * 80)
 
-        if (epoch % iters_save == 0) or (epoch == max_epoch - 1):
+        saved = (epoch % iters_save == 0) or (epoch == max_epoch - 1)
+        if saved:
             print("Saving model")
             nn.save(epoch)
             print("Finished saving model")
 
         if nn.preempt_pending():
+            if not saved:
+                nn.save(epoch)  # don't lose the just-trained epoch
             print("preempted after eval phase; exiting cleanly")
             return
 

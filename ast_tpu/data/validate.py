@@ -451,7 +451,8 @@ def validate_corpus(train_cfg, sets=None, check_features=True, deep=False,
     return problems, summary
 
 
-def fix_corpus(train_cfg, sets=None, deep=True, backup=True):
+def fix_corpus(train_cfg, sets=None, deep=True, backup=True,
+               check_features=True):
     """Repair the corpus in place (``fix_data_dir.sh`` analog).
 
     Drops utterances that are inconsistent (present in only one pickle,
@@ -459,8 +460,14 @@ def fix_corpus(train_cfg, sets=None, deep=True, backup=True):
     than info declares) from BOTH map and info, and — in deep mode —
     repairs stale info frame counts from the actual feature files.
     Originals are saved as ``<path>.bak`` first.  Returns a summary dict.
+
+    ``check_features=False`` (the CLI's ``--no-feats``) repairs only the
+    metadata-level problems — essential when the feature tree is not
+    mounted, where speech checks would otherwise report EVERY utterance
+    missing and the fix would wipe the corpus.
     """
-    problems, _ = validate_corpus(train_cfg, sets=sets, deep=deep)
+    problems, _ = validate_corpus(train_cfg, sets=sets, deep=deep,
+                                  check_features=check_features)
     data_cfg = train_cfg["data"]
     bucket_key = (data_cfg.get("enc_key", "sp")
                   if data_cfg.get("enc_key", "sp") != "sp" else "sp")
@@ -488,10 +495,11 @@ def fix_corpus(train_cfg, sets=None, deep=True, backup=True):
 
     map_dict = _load_pickle(data_cfg["map_path"])
     info = _load_pickle(data_cfg["info_path"])
-    speech = _SpeechSource(data_cfg)
+    speech = _SpeechSource(data_cfg) if check_features else None
     max_sp = (data_cfg["buckets_num"] + 1) * data_cfg["buckets_width"]
 
     n_dropped, n_repaired = 0, 0
+    # repairs only exist when speech checks ran (check_features=True)
     for set_key, utts in repairs.items():
         for u in sorted(utts - drops.get(set_key, set())):
             loader = speech.resolve(u, set_key)
@@ -524,12 +532,14 @@ def fix_corpus(train_cfg, sets=None, deep=True, backup=True):
             ids_path = os.path.join(refs_path, set_key, "eval.ids")
             if not os.path.exists(ids_path):
                 continue
+            # indices are RAW line numbers (blank lines included) so the
+            # kept eval.ids line j and ref.enK line j stay paired
             with open(ids_path) as f:
-                ids = [line.rstrip("\n") for line in f if line.strip()]
-            keep = [j for j, u in enumerate(ids) if u not in utts]
-            if len(keep) == len(ids):
+                raw = [line.rstrip("\n") for line in f]
+            keep = [j for j, u in enumerate(raw) if u.strip() not in utts]
+            if len(keep) == len(raw):
                 continue
-            n_refs_filtered += len(ids) - len(keep)
+            n_refs_filtered += len(raw) - len(keep)
             ref_files = [ids_path]
             k = 0
             while True:
@@ -540,14 +550,15 @@ def fix_corpus(train_cfg, sets=None, deep=True, backup=True):
                 k += 1
             for path in ref_files:
                 with open(path) as f:
-                    lines = [line.rstrip("\n") for line in f][: len(ids)]
+                    lines = [line.rstrip("\n") for line in f]
                 if backup:
                     import shutil
                     shutil.copy2(path, path + ".bak")
                 tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "w") as f:
                     for j in keep:
-                        f.write((lines[j] if j < len(lines) else "") + "\n")
+                        if j < len(lines):
+                            f.write(lines[j] + "\n")
                 os.replace(tmp, path)
 
     if n_dropped or n_repaired:

@@ -136,14 +136,24 @@ def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
     float(jax.device_get(loss))
     carry["v"] = (p, s, o)
 
+    def reset():
+        # a failed call may have donated (deleted) any of the carried
+        # buffers; rebuild them on device so later rounds still run
+        _, p0, s0 = _flagship(fused=fused)
+        carry["v"] = (p0, s0, opt.init(p0))
+
     def run(n_steps):
         n_calls = max(1, n_steps // G)
         p, s, o = carry["v"]
-        t0 = time.perf_counter()
-        for i in range(n_calls):
-            p, s, o, loss = call(p, s, o, i)
-        float(jax.device_get(loss))
-        dt = time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            for i in range(n_calls):
+                p, s, o, loss = call(p, s, o, i)
+            float(jax.device_get(loss))
+            dt = time.perf_counter() - t0
+        except BaseException:
+            reset()
+            raise
         carry["v"] = (p, s, o)
         return (n_calls * G * B) / dt
 

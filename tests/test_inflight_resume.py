@@ -178,3 +178,32 @@ def test_stale_inflight_is_ignored(tmp_path):
     nn2 = NN(exp)
     assert nn2.max_epoch == 5
     assert nn2.inflight_resume is None
+
+
+def test_preempt_after_training_phase_saves_epoch(tmp_path, monkeypatch):
+    """A SIGTERM landing BETWEEN the batch loop and the eval phase must
+    not discard the just-finished epoch: the CLI's phase-boundary check
+    saves an epoch checkpoint before exiting (with the default config
+    there are no in-epoch snapshots to fall back on)."""
+    from ast_tpu.cli import train as train_cli
+    from ast_tpu.train import trainer
+    from ast_tpu.train.checkpoint import checkpoint_path
+
+    orig = trainer.NN.train_epoch
+
+    def finish_then_preempt(self, *a, **k):
+        loss = orig(self, *a, **k)
+        self.request_preempt()  # SIGTERM delivered as the loop ends
+        return loss
+
+    monkeypatch.setattr(trainer.NN, "train_epoch", finish_then_preempt)
+    exp = make_tiny_experiment(str(tmp_path), n_train=8, n_dev=4,
+                               batch_size=4)
+    # -e 3 with iters_save=2: epoch 1 is NOT save-eligible on its own
+    train_cli.main(["-m", exp, "-e", "3"])
+
+    assert os.path.exists(checkpoint_path(exp, 1))
+    with open(os.path.join(exp, "train.log")) as f:
+        assert len(f.read().splitlines()) == 1  # exited after epoch 1
+    nn = trainer.NN(exp)
+    assert nn.max_epoch == 1  # resume continues at epoch 2

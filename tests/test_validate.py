@@ -152,6 +152,27 @@ def test_fix_repairs_to_green(tmp_path):
     assert n == 10
 
 
+def test_fix_no_feats_does_not_wipe_corpus(tmp_path):
+    """--fix --no-feats on a machine without the feature tree must only
+    repair metadata-level problems — never treat every utterance as
+    missing speech and wipe map/info."""
+    exp = make_tiny_experiment(str(tmp_path))
+    cfg = _load_cfg(exp)
+    import shutil
+    shutil.rmtree(cfg["data"]["speech_path"])  # features not mounted
+    _rewrite(cfg["data"]["map_path"],
+             lambda m: m["tiny_train"].update(
+                 ghost_map={"en_w": [b"w1"]}))
+
+    result = fix_corpus(cfg, check_features=False)
+    assert result["dropped"] == 1  # the metadata ghost only
+    with open(cfg["data"]["info_path"], "rb") as f:
+        info = pickle.load(f)
+    assert len(info["tiny_train"]) == 12
+    problems, _ = validate_corpus(cfg, check_features=False)
+    assert _codes(problems, "error") == set()
+
+
 def test_cli_validate_exit_codes(tmp_path, capsys):
     exp = make_tiny_experiment(str(tmp_path))
     prep_data.main(["validate", exp, "--deep"])  # clean: no SystemExit
