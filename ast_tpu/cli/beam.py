@@ -26,6 +26,10 @@ def main(argv=None):
     parser.add_argument("-w", "--W", required=True, help="len norm weight")
     parser.add_argument("--resume", action="store_true",
                         help="reuse pickled beam results")
+    parser.add_argument("--ckpt", default=None,
+                        help="decode from this checkpoint file instead "
+                             "of the latest epoch (e.g. a copy_params "
+                             "--average artifact)")
     parser.add_argument("--save-attn", action="store_true",
                         help="pickle per-hypothesis attention history "
                              "alongside (hyp, score), as the reference "
@@ -36,7 +40,7 @@ def main(argv=None):
     N, K, W = int(args.N), int(args.K), float(args.W)
     set_key = args.S
 
-    nn = NN(cfg_path)
+    nn = NN(cfg_path, ckpt=args.ckpt)
     refs_path = os.path.join(nn.cfg.train["data"]["refs_path"], set_key)
     metrics = Eval(refs_path, nn.cfg.train["data"]["n_evals"])
 

@@ -8,6 +8,7 @@ training auto-resumes from the transferred weights.
 """
 
 import argparse
+import os
 
 import jax
 import numpy as np
@@ -15,9 +16,34 @@ import numpy as np
 from ast_tpu.config import Config
 from ast_tpu.models import seq2seq
 from ast_tpu.train.checkpoint import (
-    checkpoint_path, latest_checkpoint, load_checkpoint, save_checkpoint,
-    transfer_params,
+    average_checkpoints, checkpoint_path, latest_checkpoint,
+    list_checkpoints, load_checkpoint, save_checkpoint, transfer_params,
 )
+
+
+def _average(src_dir, spec, out):
+    """--average: mean of several epoch checkpoints (decode-time trick,
+    no reference counterpart).  spec: 'last:K' or 'e1,e2,...'."""
+    available = dict(list_checkpoints(src_dir))
+    if not available:
+        raise FileNotFoundError(f"no checkpoints found in {src_dir}")
+    if spec.startswith("last:"):
+        epochs = sorted(available)[-int(spec.split(":", 1)[1]):]
+    else:
+        epochs = [int(e) for e in spec.split(",") if e.strip()]
+        missing = [e for e in epochs if e not in available]
+        if missing:
+            raise FileNotFoundError(
+                f"epochs {missing} have no checkpoint in {src_dir} "
+                f"(available: {sorted(available)})")
+    params, state = average_checkpoints([available[e] for e in epochs])
+    out = out or os.path.join(
+        src_dir, f"seq2seq_avg_{'-'.join(map(str, epochs))}.model.npz")
+    save_checkpoint(out, params, state)
+    print(f"averaged epochs {epochs} -> {out}")
+    print("decode/export from it with --ckpt "
+          f"{out} on beam/infer/export_model")
+    return out
 
 
 def main(argv=None):
@@ -31,7 +57,17 @@ def main(argv=None):
                              "checkpoint in the reference's Chainer "
                              "save_npz layout (loadable by the reference's "
                              "nn.py:150 serializers.load_npz)")
+    parser.add_argument("--average", metavar="SPEC",
+                        help="instead of transferring, average --src epoch "
+                             "checkpoints ('last:K' or 'e1,e2,...') into "
+                             "one decode-time model (use via --ckpt)")
+    parser.add_argument("--out", default=None,
+                        help="output path for --average")
     args = parser.parse_args(argv)
+
+    if args.average:
+        _average(args.src, args.average, args.out)
+        return
 
     groups = tuple(g.strip() for g in args.groups.split(",") if g.strip())
 

@@ -48,10 +48,14 @@ def main(argv=None):
                         choices=["float32", "bfloat16"],
                         help="compute dtype inside the artifact "
                              "(default: the experiment's compute_dtype)")
+    parser.add_argument("--ckpt", default=None,
+                        help="export this checkpoint file instead of the "
+                             "latest epoch (e.g. a copy_params --average "
+                             "artifact)")
     args = parser.parse_args(argv)
 
-    nn = NN(args.cfg_path)
-    if nn.max_epoch == 0:
+    nn = NN(args.cfg_path, ckpt=args.ckpt)
+    if nn.loaded_ckpt is None:
         print("warning: no checkpoint found — exporting the random init")
     data_cfg = nn.cfg.train["data"]
     stop_limit = args.stop_limit or int(data_cfg["max_pred"])

@@ -89,10 +89,14 @@ def main(argv=None):
                         help="max decode steps (default data.max_pred)")
     parser.add_argument("-o", "--output", default=None,
                         help="write '<name>\\t<text>' lines here too")
+    parser.add_argument("--ckpt", default=None,
+                        help="decode from this checkpoint file instead "
+                             "of the latest epoch (e.g. a copy_params "
+                             "--average artifact)")
     args = parser.parse_args(argv)
 
-    nn = NN(args.cfg_path)
-    if nn.max_epoch == 0:
+    nn = NN(args.cfg_path, ckpt=args.ckpt)
+    if nn.loaded_ckpt is None:
         print("warning: no checkpoint found — decoding with random init")
     data_cfg = nn.cfg.train["data"]
     stop_limit = args.stop_limit or int(data_cfg["max_pred"])

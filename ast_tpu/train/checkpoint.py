@@ -121,6 +121,47 @@ def latest_checkpoint(model_dir):
     return best, best_epoch
 
 
+def list_checkpoints(model_dir):
+    """Sorted ``[(epoch, path)]`` of every epoch checkpoint in the dir.
+    At equal epoch our ``.model.npz`` outranks a reference ``.model``,
+    matching :func:`latest_checkpoint`."""
+    found = {}
+    if os.path.isdir(model_dir):
+        for f in os.listdir(model_dir):
+            m = _CKPT_RE.search(f)
+            if not m:
+                continue
+            epoch, ours = int(m.group(1)), m.group(2) is not None
+            if epoch not in found or (ours and not found[epoch][1]):
+                found[epoch] = (os.path.join(model_dir, f), ours)
+    return [(e, found[e][0]) for e in sorted(found)]
+
+
+def average_checkpoints(paths):
+    """Elementwise mean of params (and BN running stats) over several
+    epoch checkpoints — the standard decode-time checkpoint-averaging
+    trick (no counterpart in the reference, which always decodes the
+    latest checkpoint; see beam.py:80 there).  Returns (params, state);
+    optimizer state and resume extras are deliberately dropped — the
+    artifact is for decode/export, not for resuming training."""
+    if not paths:
+        raise ValueError("no checkpoints to average")
+    acc = None
+    n = 0
+    for path in paths:
+        snap = load_checkpoint(path)
+        cur = (snap["params"], snap.get("state") or {})
+        if acc is None:
+            acc = jax.tree.map(lambda a: np.asarray(a, np.float64), cur)
+        else:
+            acc = jax.tree.map(
+                lambda a, b: a + np.asarray(b, np.float64), acc, cur)
+        n += 1
+    params, state = jax.tree.map(
+        lambda a: (a / n).astype(np.float32), acc)
+    return params, state
+
+
 # param groups matching the reference's component lists
 # (reference: copy_params.py:20-24)
 TRANSFER_GROUPS = {

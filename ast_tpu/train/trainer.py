@@ -136,7 +136,11 @@ class CrossingGate:
 class NN:
     """Build/load a model + optimizer for one experiment directory."""
 
-    def __init__(self, cfg_path, mesh=None):
+    def __init__(self, cfg_path, mesh=None, ckpt=None):
+        """``ckpt``: explicit checkpoint path — load exactly this file
+        (e.g. a ``copy_params --average`` artifact) instead of the
+        auto-resume scan; inflight recovery is skipped too, since an
+        explicit checkpoint means "decode/serve from exactly this"."""
         self.cfg = Config(cfg_path)
         self.model_dir = self.cfg.model["model_dir"]
         self.mcfg = self.cfg.model
@@ -186,12 +190,17 @@ class NN:
         key, self.rng = jax.random.split(self.rng)
         self.params, self.state = seq2seq.init_model(key, self.mcfg)
         self.max_epoch = 0
-        ckpt, epoch = latest_checkpoint(self.model_dir)
+        explicit_ckpt = ckpt
+        if explicit_ckpt is None:
+            ckpt, epoch = latest_checkpoint(self.model_dir)
+        else:
+            ckpt, epoch = explicit_ckpt, 0
         self.opt, self.opt_state = build_optimizer(
             tcfg["optimizer"], self.params, seed=self.seed)
         if ckpt is not None:
             self._load_snapshot(load_checkpoint(ckpt))
             self.max_epoch = epoch
+        self.loaded_ckpt = ckpt  # path actually loaded (None = fresh init)
 
         # mid-epoch crash recovery: prefer a NEWER inflight snapshot
         # (written every ``checkpoint_steps`` batches).  extra = {epoch e,
@@ -200,7 +209,7 @@ class NN:
         # resumed run skip exactly those batches.
         self.inflight_resume = None
         inflight = os.path.join(self.model_dir, "seq2seq_inflight.npz")
-        if os.path.exists(inflight):
+        if explicit_ckpt is None and os.path.exists(inflight):
             snap = load_checkpoint(inflight)
             extra = snap.get("extra") or {}
             in_epoch = int(extra.get("epoch", 0))

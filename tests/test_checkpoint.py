@@ -68,3 +68,50 @@ def test_transfer_shape_mismatch_raises(tmp_path):
         transfer_params(src_params, dst_params, groups=("dec",))
     # enc transfer across different vocabs is fine
     transfer_params(src_params, dst_params, groups=("enc",))
+
+
+def test_average_checkpoints_and_explicit_ckpt(tmp_path):
+    """copy_params --average: elementwise-mean model; NN(ckpt=...) loads
+    exactly that file (no auto-resume scan, no inflight recovery)."""
+    import os
+
+    from ast_tpu.cli import copy_params as cp_cli
+    from ast_tpu.train.checkpoint import average_checkpoints, list_checkpoints
+    from ast_tpu.train.trainer import NN
+    from tests.conftest import make_tiny_experiment
+
+    exp = make_tiny_experiment(str(tmp_path), n_train=8, n_dev=4,
+                               batch_size=4)
+    mcfg, p1, s1 = _model(seed=1)
+    _, p2, s2 = _model(seed=2)
+    save_checkpoint(checkpoint_path(exp, 1), p1, s1)
+    save_checkpoint(checkpoint_path(exp, 2), p2, s2)
+    assert [e for e, _ in list_checkpoints(exp)] == [1, 2]
+
+    cp_cli.main(["--src", exp, "--average", "last:2",
+                 "--out", str(tmp_path / "avg.model.npz")])
+    avg_path = str(tmp_path / "avg.model.npz")
+    assert os.path.exists(avg_path)
+
+    avg = load_checkpoint(avg_path)
+    for a, b1, b2 in zip(jax.tree.leaves(avg["params"]),
+                         jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a), (np.asarray(b1) + np.asarray(b2)) / 2,
+            rtol=0, atol=1e-7)
+
+    # a stale inflight snapshot must NOT override an explicit checkpoint
+    save_checkpoint(os.path.join(exp, "seq2seq_inflight"), p2, s2,
+                    extra={"epoch": np.int64(9), "step": np.int64(3)})
+    nn = NN(exp, ckpt=avg_path)
+    assert nn.loaded_ckpt == avg_path
+    assert nn.inflight_resume is None
+    np.testing.assert_array_equal(
+        np.asarray(nn.params["dec"]["out_w"]),
+        np.asarray(avg["params"]["dec"]["out_w"]))
+
+    # explicit-epoch spec + direct helper agree
+    pa, _ = average_checkpoints([checkpoint_path(exp, 1),
+                                 checkpoint_path(exp, 2)])
+    np.testing.assert_array_equal(np.asarray(pa["dec"]["out_w"]),
+                                  np.asarray(avg["params"]["dec"]["out_w"]))
