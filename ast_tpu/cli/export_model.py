@@ -52,6 +52,13 @@ def main(argv=None):
                         help="export this checkpoint file instead of the "
                              "latest epoch (e.g. a copy_params --average "
                              "artifact)")
+    parser.add_argument("--quantize", default=None, choices=["int8"],
+                        help="bake weights as int8 constants (symmetric "
+                             "per-output-channel, dequantized inside the "
+                             "artifact) — ~4x smaller files")
+    parser.add_argument("--quantize-min-size", type=int, default=4096,
+                        help="only quantize weight tensors with at least "
+                             "this many elements (default 4096)")
     args = parser.parse_args(argv)
 
     nn = NN(args.cfg_path, ckpt=args.ckpt)
@@ -78,12 +85,15 @@ def main(argv=None):
     out_dir = args.out_dir or os.path.join(nn.model_dir, "serving")
     os.makedirs(out_dir, exist_ok=True)
 
+    quant = bool(args.quantize)
+    tag = "_q8" if quant else ""
     entries = []
     for T in frames:
         exp = serving.export_greedy(
             nn.params, nn.state, nn.mcfg, args.batch, T, stop_limit,
-            dtype, platforms)
-        fname = f"greedy_B{args.batch}_T{T}.jaxexp"
+            dtype, platforms, quantize=quant,
+            q_min_size=args.quantize_min_size)
+        fname = f"greedy_B{args.batch}_T{T}{tag}.jaxexp"
         nbytes = serving.save_artifact(exp, os.path.join(out_dir, fname))
         entries.append({"file": fname, "kind": "greedy",
                         "batch": args.batch, "frames": T,
@@ -94,8 +104,9 @@ def main(argv=None):
             N, K = (int(v) for v in args.beam.split(","))
             exp = serving.export_beam(
                 nn.params, nn.state, nn.mcfg, args.batch, T, N, K,
-                stop_limit, dtype, platforms)
-            fname = f"beam_N{N}_K{K}_B{args.batch}_T{T}.jaxexp"
+                stop_limit, dtype, platforms, quantize=quant,
+                q_min_size=args.quantize_min_size)
+            fname = f"beam_N{N}_K{K}_B{args.batch}_T{T}{tag}.jaxexp"
             nbytes = serving.save_artifact(
                 exp, os.path.join(out_dir, fname))
             entries.append({"file": fname, "kind": "beam", "N": N, "K": K,
@@ -108,7 +119,7 @@ def main(argv=None):
     mpath = serving.write_manifest(
         out_dir, entries, nn.mcfg, stop_limit,
         "bfloat16" if dtype == jnp.bfloat16 else "float32", i2w=i2w,
-        dec_key=dec_key)
+        dec_key=dec_key, quantization=args.quantize)
     print(f"manifest: {mpath}")
     return out_dir
 

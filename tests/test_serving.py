@@ -109,3 +109,65 @@ def test_export_cli_writes_runnable_artifacts(tmp_path):
     X = np.random.RandomState(2).randn(2, 40, 13).astype(np.float32)
     preds, _ = loaded.call(X)
     assert np.asarray(preds).shape == (2, manifest["stop_limit"])
+
+
+def test_quantize_params_error_bound_and_roundtrip(tmp_path):
+    """int8 weight-only quantization: per-channel dequant error is
+    bounded by scale/2, and the quantized artifact reproduces the
+    in-process decode over dequantized params exactly."""
+    from ast_tpu.serving import _is_q8, dequantize_params, quantize_params
+
+    mcfg = _mcfg()
+    params, state = seq2seq.init_model(jax.random.PRNGKey(2), mcfg)
+    q = quantize_params(params, min_size=64)
+
+    n_q = sum(_is_q8(x) for x in jax.tree.leaves(
+        q, is_leaf=lambda x: _is_q8(x) or not isinstance(x, (dict, list))))
+    assert n_q >= 4, "expected the big weight leaves to quantize"
+
+    deq = dequantize_params(q)
+    for w, d in zip(jax.tree.leaves(params), jax.tree.leaves(deq)):
+        w, d = np.asarray(w, np.float32), np.asarray(d, np.float32)
+        amax = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)),
+                      keepdims=True) if w.ndim >= 2 else 0
+        bound = np.broadcast_to(np.maximum(amax / 254.0 * 1.001, 1e-8),
+                                w.shape)
+        assert np.all(np.abs(w - d) <= bound) or w.shape == d.shape and \
+            np.array_equal(w, d)
+
+    B, T, stop = 2, 40, 8
+    X = np.random.RandomState(3).randn(B, T, 13).astype(np.float32)
+    exp = serving.export_greedy(params, state, mcfg, B, T, stop,
+                                platforms=("cpu",), quantize=True,
+                                q_min_size=64)
+    path = str(tmp_path / "greedy_q8.jaxexp")
+    qbytes = serving.save_artifact(exp, path)
+    preds, _ = serving.load_artifact(path).call(X)
+    ref_preds, _ = seq2seq.predict_greedy(
+        deq, state, serving._portable_mcfg(mcfg), X, stop)
+    np.testing.assert_array_equal(np.asarray(preds), np.asarray(ref_preds))
+
+    # the int8 constants make the artifact materially smaller
+    fexp = serving.export_greedy(params, state, mcfg, B, T, stop,
+                                 platforms=("cpu",))
+    fbytes = serving.save_artifact(fexp, str(tmp_path / "greedy_f32.jaxexp"))
+    assert qbytes < 0.55 * fbytes, (qbytes, fbytes)
+
+
+def test_export_cli_quantize(tmp_path):
+    from ast_tpu.cli import export_model
+
+    exp_dir = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp_dir, "--batch", "1", "--frames", "40",
+         "--platforms", "cpu", "--dtype", "float32",
+         "--quantize", "int8", "--quantize-min-size", "64"])
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert "int8" in manifest["quantization"]
+    entry = manifest["entries"][0]
+    assert entry["file"].endswith("_q8.jaxexp")
+    loaded = serving.load_artifact(os.path.join(out, entry["file"]))
+    X = np.random.RandomState(4).randn(1, 40, 13).astype(np.float32)
+    preds, _ = loaded.call(X)
+    assert np.asarray(preds).shape == (1, manifest["stop_limit"])
