@@ -44,7 +44,13 @@ def main(argv=None):
     refs_path = os.path.join(nn.cfg.train["data"]["refs_path"], set_key)
     metrics = Eval(refs_path, nn.cfg.train["data"]["n_evals"])
 
-    beam_path = os.path.join(cfg_path, f"{set_key}_beam_N-{N}_K-{K}.p")
+    # keyed by checkpoint identity when --ckpt is given, so --resume can
+    # never serve cached beams from a different model, and an explicit-
+    # checkpoint decode never clobbers the latest-epoch results
+    tag = ""
+    if args.ckpt:
+        tag = "_ckpt-" + os.path.splitext(os.path.basename(args.ckpt))[0]
+    beam_path = os.path.join(cfg_path, f"{set_key}_beam_N-{N}_K-{K}{tag}.p")
     if args.resume and os.path.exists(beam_path):
         print("Loading saved beam results")
         with open(beam_path, "rb") as f:
@@ -62,7 +68,7 @@ def main(argv=None):
     print(f"BLEU = {bleu:.2f}")
 
     out_fname = os.path.join(
-        cfg_path, f"{set_key}_beam_N-{N}_K-{K}_W-{W:.2f}.en")
+        cfg_path, f"{set_key}_beam_N-{N}_K-{K}_W-{W:.2f}{tag}.en")
     metrics.write_to_file(hyps, out_fname)
     print(f"Predictions written to: {out_fname}")
     return bleu

@@ -28,7 +28,10 @@ def _average(src_dir, spec, out):
     if not available:
         raise FileNotFoundError(f"no checkpoints found in {src_dir}")
     if spec.startswith("last:"):
-        epochs = sorted(available)[-int(spec.split(":", 1)[1]):]
+        k = int(spec.split(":", 1)[1])
+        if k < 1:
+            raise ValueError(f"--average last:K needs K >= 1, got {k}")
+        epochs = sorted(available)[-k:]
     else:
         epochs = [int(e) for e in spec.split(",") if e.strip()]
         missing = [e for e in epochs if e not in available]

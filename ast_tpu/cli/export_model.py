@@ -87,10 +87,13 @@ def main(argv=None):
 
     quant = bool(args.quantize)
     tag = "_q8" if quant else ""
+    # quantize once; the export fns detect the pre-quantized tree
+    params = (serving.quantize_params(nn.params, args.quantize_min_size)
+              if quant else nn.params)
     entries = []
     for T in frames:
         exp = serving.export_greedy(
-            nn.params, nn.state, nn.mcfg, args.batch, T, stop_limit,
+            params, nn.state, nn.mcfg, args.batch, T, stop_limit,
             dtype, platforms, quantize=quant,
             q_min_size=args.quantize_min_size)
         fname = f"greedy_B{args.batch}_T{T}{tag}.jaxexp"
@@ -103,7 +106,7 @@ def main(argv=None):
         if args.beam:
             N, K = (int(v) for v in args.beam.split(","))
             exp = serving.export_beam(
-                nn.params, nn.state, nn.mcfg, args.batch, T, N, K,
+                params, nn.state, nn.mcfg, args.batch, T, N, K,
                 stop_limit, dtype, platforms, quantize=quant,
                 q_min_size=args.quantize_min_size)
             fname = f"beam_N{N}_K{K}_B{args.batch}_T{T}{tag}.jaxexp"

@@ -53,13 +53,21 @@ def quantize_params(params, min_size=4096):
                 not np.issubdtype(a.dtype, np.floating):
             return w
         a32 = a.astype(np.float32)
-        amax = np.max(np.abs(a32), axis=tuple(range(a.ndim - 1)),
-                      keepdims=True)
+        # output-channel axis: conv kernels are OIHW (ops/cnn.py:33)
+        # -> axis 0; matmul/embedding weights put the output last
+        out_axis = 0 if a.ndim == 4 else a.ndim - 1
+        red = tuple(i for i in range(a.ndim) if i != out_axis)
+        amax = np.max(np.abs(a32), axis=red, keepdims=True)
         scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
         q = np.clip(np.rint(a32 / scale), -127, 127).astype(np.int8)
         return {_Q8_KEY: q, "scale": scale}
 
     return jax.tree.map(quant, params)
+
+
+def _has_q8(tree):
+    """True if any leaf of ``tree`` is a quantized weight."""
+    return any(_is_q8(x) for x in jax.tree.leaves(tree, is_leaf=_is_q8))
 
 
 def _is_q8(x):
@@ -100,7 +108,9 @@ def export_greedy(params, state, mcfg, batch, frames, stop_limit,
     (preds (B, stop_limit) i32, n_steps i32)`` with the weights baked in.
 
     ``quantize=True`` bakes int8 weight constants instead of f32 (see
-    :func:`quantize_params`) with an in-artifact dequant prologue.
+    :func:`quantize_params`) with an in-artifact dequant prologue;
+    alternatively pass an already-quantized tree as ``params`` (the CLI
+    quantizes once and reuses it across the shape ladder).
 
     Returns a ``jax.export.Exported``; ``.serialize()`` it to bytes or
     call it in-process via ``.call(X)``.
@@ -108,10 +118,12 @@ def export_greedy(params, state, mcfg, batch, frames, stop_limit,
     from ast_tpu.models import seq2seq
 
     pmcfg = _portable_mcfg(mcfg)
-    p_or_q = quantize_params(params, q_min_size) if quantize else params
+    if quantize and not _has_q8(params):
+        params = quantize_params(params, q_min_size)
+    p_or_q, deq = params, _has_q8(params)
 
     def fn(X):
-        p = dequantize_params(p_or_q) if quantize else p_or_q
+        p = dequantize_params(p_or_q) if deq else p_or_q
         return seq2seq.predict_greedy(p, state, pmcfg, X,
                                       stop_limit, compute_dtype)
 
@@ -135,10 +147,12 @@ def export_beam(params, state, mcfg, batch, frames, N, K, stop_limit,
 
     pmcfg = _portable_mcfg(mcfg)
     decode = make_beam_decoder(pmcfg, N, K, stop_limit, compute_dtype)
-    p_or_q = quantize_params(params, q_min_size) if quantize else params
+    if quantize and not _has_q8(params):
+        params = quantize_params(params, q_min_size)
+    p_or_q, deq = params, _has_q8(params)
 
     def fn(X):
-        p = dequantize_params(p_or_q) if quantize else p_or_q
+        p = dequantize_params(p_or_q) if deq else p_or_q
         return decode(p, state, X)
 
     spec = jax.ShapeDtypeStruct((batch, frames, in_dim), jnp.float32)

@@ -115,3 +115,8 @@ def test_average_checkpoints_and_explicit_ckpt(tmp_path):
                                  checkpoint_path(exp, 2)])
     np.testing.assert_array_equal(np.asarray(pa["dec"]["out_w"]),
                                   np.asarray(avg["params"]["dec"]["out_w"]))
+
+    # 'last:0' must be rejected, not silently average everything
+    import pytest
+    with pytest.raises(ValueError):
+        cp_cli.main(["--src", exp, "--average", "last:0"])

@@ -128,8 +128,13 @@ def test_quantize_params_error_bound_and_roundtrip(tmp_path):
     deq = dequantize_params(q)
     for w, d in zip(jax.tree.leaves(params), jax.tree.leaves(deq)):
         w, d = np.asarray(w, np.float32), np.asarray(d, np.float32)
-        amax = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)),
-                      keepdims=True) if w.ndim >= 2 else 0
+        if w.ndim >= 2:
+            # per-output-channel: OIHW conv -> axis 0, matmul -> last
+            out_axis = 0 if w.ndim == 4 else w.ndim - 1
+            red = tuple(i for i in range(w.ndim) if i != out_axis)
+            amax = np.max(np.abs(w), axis=red, keepdims=True)
+        else:
+            amax = 0
         bound = np.broadcast_to(np.maximum(amax / 254.0 * 1.001, 1e-8),
                                 w.shape)
         assert np.all(np.abs(w - d) <= bound) or w.shape == d.shape and \

@@ -69,6 +69,26 @@ def test_beam_cli(trained_exp):
     assert abs(bleu - bleu2) < 1e-9
 
 
+def test_beam_cli_explicit_ckpt_paths(trained_exp):
+    """--ckpt results are keyed by checkpoint identity: cached beams and
+    .en outputs never collide with (or get served from) the
+    latest-epoch decode's files, even under --resume."""
+    import ast_tpu.cli.beam as beam_cli
+    import ast_tpu.cli.copy_params as cp_cli
+
+    avg = os.path.join(trained_exp, "avg.npz")
+    cp_cli.main(["--src", trained_exp, "--average", "last:1",
+                 "--out", avg])
+    beam_cli.main(["-m", trained_exp, "-n", "2", "-k", "2",
+                   "-s", "tiny_dev", "-w", "0.6", "--ckpt", avg])
+    assert os.path.exists(os.path.join(
+        trained_exp, "tiny_dev_beam_N-2_K-2_ckpt-avg.p"))
+    assert os.path.exists(os.path.join(
+        trained_exp, "tiny_dev_beam_N-2_K-2_W-0.60_ckpt-avg.en"))
+    assert not os.path.exists(os.path.join(
+        trained_exp, "tiny_dev_beam_N-2_K-2.p"))
+
+
 def test_remat_gradients_match(tmp_path):
     """extras.remat (jax.checkpoint around the loss) must produce the
     same parameter update as the plain step — recompute-for-memory only,
