@@ -84,6 +84,10 @@ _OPT_DEFAULTS = {
     "freeze": [],
     # Legacy linear LR scaling for SGD (reference: nmt_run.py:567-576)
     "lr_scale": 1,
+    # dtype of Adam's first-moment accumulator ("bfloat16" halves its
+    # HBM footprint/traffic; second moment + amsgrad max stay f32 for
+    # numerics).  None/"" => float32, the reference's behavior.
+    "moments_dtype": None,
 }
 
 _PARALLEL_DEFAULTS = {

@@ -16,6 +16,7 @@ import os
 import re
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ast_tpu.train import chainer_import
@@ -60,16 +61,28 @@ def _unflatten(flat):
     return materialize(root)
 
 
+def _savable(x):
+    """np.asarray, upcasting dtypes NPZ cannot represent (ml_dtypes
+    bfloat16 serializes as raw ``|V2`` void bytes and loses its type on
+    load) to float32.  A bf16 Adam moment reloaded as f32 is re-cast to
+    ``moments_dtype`` by optax on the next update, so resume stays
+    correct."""
+    a = np.asarray(x)
+    if a.dtype.kind == "V":
+        a = np.asarray(jnp.asarray(x), np.float32)
+    return a
+
+
 def save_checkpoint(path, params, state=None, opt_state=None, extra=None):
     """Save a training snapshot to ``path`` (.npz appended if missing)."""
     tree = {"params": params}
     if state is not None:
         tree["state"] = state
     if opt_state is not None:
-        tree["opt"] = jax.tree.map(np.asarray, opt_state)
+        tree["opt"] = opt_state
     if extra is not None:
         tree["extra"] = extra
-    flat = _flatten(jax.tree.map(np.asarray, tree))
+    flat = _flatten(jax.tree.map(_savable, tree))
     if not path.endswith(".npz"):
         path = path + ".npz"
     np.savez(path, **flat)
@@ -103,28 +116,18 @@ def checkpoint_path(model_dir, epoch):
 
 
 def latest_checkpoint(model_dir):
-    """(path, epoch) of the max-epoch checkpoint, or (None, 0).
-
-    At equal epoch our ``.model.npz`` outranks a reference ``.model``
-    (ours carries optimizer state and the exact-resume extras)."""
-    best, best_epoch, best_ours = None, 0, False
-    if os.path.isdir(model_dir):
-        for f in os.listdir(model_dir):
-            m = _CKPT_RE.search(f)
-            if not m:
-                continue
-            epoch, ours = int(m.group(1)), m.group(2) is not None
-            if best is None or epoch > best_epoch or (
-                    epoch == best_epoch and ours and not best_ours):
-                best_epoch, best_ours = epoch, ours
-                best = os.path.join(model_dir, f)
-    return best, best_epoch
+    """(path, epoch) of the max-epoch checkpoint, or (None, 0)."""
+    ckpts = list_checkpoints(model_dir)
+    if not ckpts:
+        return None, 0
+    epoch, path = ckpts[-1]
+    return path, epoch
 
 
 def list_checkpoints(model_dir):
     """Sorted ``[(epoch, path)]`` of every epoch checkpoint in the dir.
-    At equal epoch our ``.model.npz`` outranks a reference ``.model``,
-    matching :func:`latest_checkpoint`."""
+    At equal epoch our ``.model.npz`` outranks a reference ``.model``
+    (ours carries optimizer state and the exact-resume extras)."""
     found = {}
     if os.path.isdir(model_dir):
         for f in os.listdir(model_dir):

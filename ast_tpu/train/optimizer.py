@@ -76,7 +76,13 @@ def build_optimizer(opt_cfg, params, seed=0):
 
     lr = opt_cfg["lr"] * opt_cfg.get("lr_scale", 1)
     if opt_cfg.get("type", OPT_ADAM) == OPT_ADAM:
-        chain.append(optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=1e-8))
+        # moments_dtype="bfloat16": keep Adam's first moment in bf16
+        # (the update divides by sqrt(nu), so mu precision is the least
+        # critical of the three accumulators; nu and the amsgrad max
+        # stay f32)
+        mu_dtype = opt_cfg.get("moments_dtype") or None
+        chain.append(optax.scale_by_amsgrad(b1=0.9, b2=0.999, eps=1e-8,
+                                            mu_dtype=mu_dtype))
         chain.append(optax.scale(-lr))
     else:
         chain.append(optax.scale(-lr))
