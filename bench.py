@@ -56,7 +56,8 @@ def _batch(B, T, U, V=1098, seed=0):
 
 
 def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
-                      fused=True, steps_per_dispatch=1):
+                      fused=True, steps_per_dispatch=1,
+                      moments_dtype=None):
     """Compile + warm a full train step (fwd+bwd+adam); return a
     ``run(n_steps) -> utts/sec`` closure.
 
@@ -75,6 +76,8 @@ def make_train_runner(B=32, T=640, U=48, compute_dtype=jnp.bfloat16,
     mcfg, params, state = _flagship(fused=fused)
     opt_cfg = {"type": 0, "lr": 1e-3, "l2": 1e-4, "grad_clip": 2,
                "grad_noise_eta": 0, "freeze": []}
+    if moments_dtype:
+        opt_cfg["moments_dtype"] = moments_dtype
     opt, opt_state = build_optimizer(opt_cfg, params)
     X, y = _batch(B, T, U)
     key = jax.random.PRNGKey(0)
