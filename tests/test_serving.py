@@ -176,3 +176,32 @@ def test_export_cli_quantize(tmp_path):
     X = np.random.RandomState(4).randn(1, 40, 13).astype(np.float32)
     preds, _ = loaded.call(X)
     assert np.asarray(preds).shape == (1, manifest["stop_limit"])
+
+
+def test_quantized_beam_export_roundtrip(tmp_path):
+    """Quantized beam artifact == in-process beam decode over the
+    dequantized params (exactness of the export mechanism, independent
+    of quantization's accuracy effect)."""
+    from ast_tpu.ops.beam import make_beam_decoder
+    from ast_tpu.serving import dequantize_params, quantize_params
+
+    mcfg = _mcfg()
+    params, state = seq2seq.init_model(jax.random.PRNGKey(5), mcfg)
+    B, T, N, K, stop = 2, 40, 2, 2, 6
+    X = np.random.RandomState(6).randn(B, T, 13).astype(np.float32)
+
+    exp = serving.export_beam(params, state, mcfg, B, T, N, K, stop,
+                              platforms=("cpu",), quantize=True,
+                              q_min_size=64)
+    path = str(tmp_path / "beam_q8.jaxexp")
+    serving.save_artifact(exp, path)
+    hyps, scores, lengths = serving.load_artifact(path).call(X)
+
+    deq = dequantize_params(quantize_params(params, min_size=64))
+    decode = make_beam_decoder(serving._portable_mcfg(mcfg), N, K, stop)
+    ref_hyps, ref_scores, ref_lengths = decode(deq, state, X)
+    np.testing.assert_array_equal(np.asarray(hyps), np.asarray(ref_hyps))
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.asarray(ref_scores), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(lengths),
+                                  np.asarray(ref_lengths))
