@@ -536,21 +536,25 @@ def main():
         one_round()
     # The 4 base rounds run back-to-back, i.e. inside ONE tunnel speed
     # window — a slow minute depresses them all together.  Measurement
-    # is cheap next to the compiles, so stretch extra rounds across
-    # ~3 minutes of wall time (15 s gaps sample distinct windows) and
-    # stop early once best-of has stabilized: the recorded artifact
-    # becomes best-over-windows, not best-of-one-window.
+    # is cheap next to the compiles, so stretch extra rounds across up
+    # to ~10 minutes of wall time (20 s gaps sample distinct windows;
+    # slow windows have been observed to outlast 3 minutes) and stop
+    # early only once best-of has stabilized AND at least 5 minutes of
+    # windows were sampled: the recorded artifact becomes
+    # best-over-windows, not best-of-one-window.
     stale = 0
-    extras_end = min(t0 + 0.6 * deadline, time.time() + 360)
+    stretch_t0 = time.time()
+    extras_end = min(t0 + 0.6 * deadline, stretch_t0 + 600)
 
     def cur_best():
         return max((max(v) for v in fused_rounds.values() if v),
                    default=0.0)
 
-    for _ in range(12):
-        if stale >= 4 or time.time() > extras_end:
+    for _ in range(24):
+        if (stale >= 4 and time.time() - stretch_t0 > 300) \
+                or time.time() > extras_end:
             break
-        time.sleep(15)
+        time.sleep(20)
         prev_best = cur_best()
         one_round()
         stale = 0 if cur_best() > prev_best * 1.005 else stale + 1
