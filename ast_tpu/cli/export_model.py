@@ -85,6 +85,15 @@ def main(argv=None):
     out_dir = args.out_dir or os.path.join(nn.model_dir, "serving")
     os.makedirs(out_dir, exist_ok=True)
 
+    beam_nk = None
+    if args.beam:
+        try:
+            beam_nk = tuple(int(v) for v in args.beam.split(","))
+            if len(beam_nk) != 2:
+                raise ValueError
+        except ValueError:
+            parser.error(f"--beam expects N,K (got {args.beam!r})")
+
     quant = bool(args.quantize)
     tag = "_q8" if quant else ""
     # quantize once; the export fns detect the pre-quantized tree
@@ -103,8 +112,8 @@ def main(argv=None):
                         "platforms": platforms, "bytes": nbytes})
         print(f"exported {fname} ({nbytes} bytes, "
               f"platforms={','.join(platforms)})")
-        if args.beam:
-            N, K = (int(v) for v in args.beam.split(","))
+        if beam_nk:
+            N, K = beam_nk
             exp = serving.export_beam(
                 params, nn.state, nn.mcfg, args.batch, T, N, K,
                 stop_limit, dtype, platforms, quantize=quant,

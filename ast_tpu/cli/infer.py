@@ -100,8 +100,15 @@ def main(argv=None):
         print("warning: no checkpoint found — decoding with random init")
     data_cfg = nn.cfg.train["data"]
     stop_limit = args.stop_limit or int(data_cfg["max_pred"])
-    batch_size = args.batch or int(nn.cfg.train["batch_size"])
+    bs = nn.cfg.train["batch_size"]
+    if isinstance(bs, dict):  # legacy per-bucket sizes {max, med, min}
+        bs = max(int(bs[k]) for k in ("max", "med", "min") if k in bs)
+    batch_size = args.batch or int(bs)
     width_b = int(data_cfg["buckets_width"])
+    # same frame cap as corpus decode (dataloader._load_speech): the
+    # model never saw longer sequences, and unmasked attention over an
+    # unbounded one-off shape would silently degrade instead of erroring
+    max_sp = (int(data_cfg["buckets_num"]) + 1) * width_b
 
     cmvn_stats, utt2spk = {}, {}
     if args.cmvn not in ("utt", "none"):
@@ -127,6 +134,10 @@ def main(argv=None):
     # unmasked-attention padding mass and the number of compiles
     groups = {}
     for utt, x in feats:
+        if x.shape[0] > max_sp:
+            print(f"warning: {utt}: {x.shape[0]} frames truncated to "
+                  f"the training cap {max_sp}")
+            x = x[:max_sp]
         T = max(width_b, -(-x.shape[0] // width_b) * width_b)
         groups.setdefault(T, []).append((utt, x))
 

@@ -96,15 +96,16 @@ class ArtifactServer:
         X[0, : min(T, x.shape[0])] = x[:T]
         with self._lock:
             out = self.artifacts[entry["file"]].call(X)
+        syms = self.manifest.get("symbols", {"GO": 1, "EOS": 2})
+        go_id, eos_id = int(syms["GO"]), int(syms["EOS"])
         if mode == "greedy":
             raw = np.asarray(out[0])[0]
             # cut at the utterance's own first EOS: the artifact's
             # static-batch zero-padding rows keep the decode loop alive
             # past it, and post-EOS argmax is babble conditioned beyond
             # the sentence (corpus decode keeps those tokens for
-            # reference parity; a served transcript must not).  The beam
-            # path already truncates via its per-hyp lengths.
-            eos = np.nonzero(raw == 2)[0]  # manifest symbols: EOS=2
+            # reference parity; a served transcript must not).
+            eos = np.nonzero(raw == eos_id)[0]
             ids = [int(i) for i in (raw[: eos[0]] if eos.size else raw)]
         else:
             hyps, scores, lengths = (np.asarray(a) for a in out)
@@ -113,6 +114,13 @@ class ArtifactServer:
                        for n in range(hyps.shape[1])]
             w = float(body.get("w", self.default_w))
             ids = [int(i) for i in rerank_hypothesis(entries, w)[0][0]]
+            # beam hyps carry the GO prefix and (when finished) the EOS
+            # terminator; strip both so 'ids' means the same thing in
+            # every mode — the words of the transcript
+            if ids and ids[0] == go_id:
+                ids = ids[1:]
+            if ids and ids[-1] == eos_id:
+                ids = ids[:-1]
         resp = {"text": _detok(ids, self.vocab, self.manifest["dec_key"]),
                 "ids": ids, "mode": mode, "frames": int(x.shape[0]),
                 "artifact": entry["file"]}

@@ -272,16 +272,24 @@ class NN:
         self.timer = StepTimer()
 
     def _load_snapshot(self, loaded):
-        """Merge a checkpoint dict into params/state/opt_state."""
+        """Merge a checkpoint dict into params/state/opt_state.
+
+        Saved leaves follow the TEMPLATE leaf's dtype: checkpoints store
+        f32 (``_savable`` upcasts bf16 moments on save), so restoring
+        without the cast would hand the donated train dispatch
+        f32 moment buffers where the compiled step expects bf16 — a full
+        retrace + doubled moment HBM on every bf16-mu resume."""
         self.params = jax.tree.map(
-            lambda a, b: jnp.asarray(b), self.params, loaded["params"])
+            lambda a, b: jnp.asarray(b, a.dtype), self.params,
+            loaded["params"])
         if loaded.get("state") is not None:
             self.state = jax.tree.map(
-                lambda a, b: jnp.asarray(b), self.state, loaded["state"])
+                lambda a, b: jnp.asarray(b, a.dtype), self.state,
+                loaded["state"])
         if loaded.get("opt") is not None:
             try:
                 self.opt_state = jax.tree.map(
-                    lambda a, b: jnp.asarray(b),
+                    lambda a, b: jnp.asarray(b, a.dtype),
                     self.opt_state, loaded["opt"])
             except ValueError:
                 pass  # optimizer config changed; restart moments

@@ -73,6 +73,33 @@ def test_infer_wav_beam_and_duplicates(tmp_path):
     assert all(isinstance(v, str) for v in out.values())
 
 
+def test_infer_truncates_to_training_cap_and_dict_batch(tmp_path):
+    # (a) inputs beyond max_sp=(buckets_num+1)*width frames decode the
+    # training-cap prefix instead of compiling an unbounded one-off
+    # shape the model never saw; (b) legacy per-bucket dict batch_size
+    # configs work without --batch
+    exp = make_tiny_experiment(str(tmp_path))
+    import json
+    cfg_file = os.path.join(exp, "train_cfg.json")
+    with open(cfg_file) as f:
+        cfg = json.load(f)
+    cfg["batch_size"] = {"max": 4, "med": 2, "min": 2}
+    with open(cfg_file, "w") as f:
+        json.dump(cfg, f)
+
+    long_feats = np.random.RandomState(0).randn(400, 13).astype(np.float32)
+    np.save(tmp_path / "long.npy", long_feats)
+    out = infer.main(["-m", exp, str(tmp_path / "long.npy")])
+
+    # max_sp = (4+1)*50 = 250: equals decoding the truncated prefix
+    nn = NN(exp)
+    X = long_feats[None, :250]
+    p, _ = jax.jit(lambda X: seq2seq.predict_greedy(
+        nn.params, nn.state, nn.mcfg, X, 16, nn.compute_dtype))(X)
+    ref = nn.data_loader.get_hyps([("long", np.asarray(p)[0].tolist())])
+    assert out["long"] == " ".join(ref["long"])
+
+
 def test_infer_rejects_wrong_sample_rate(tmp_path):
     exp = make_tiny_experiment(str(tmp_path))
     _write_wav(str(tmp_path / "x.wav"), np.zeros(16000), rate=16000)

@@ -1,5 +1,7 @@
 """Optimizer chain: hooks order, freeze masking, noise schedule."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -132,3 +134,38 @@ def test_bf16_moments_checkpoint_roundtrip(tmp_path):
             if np.asarray(x).shape == want.shape
             and np.array_equal(np.asarray(x, np.float32), want)]
     assert hits, "upcast mu values not found in the loaded snapshot"
+
+
+def test_bf16_moments_resume_keeps_template_dtype(tmp_path):
+    """Resuming a bf16-mu run must restore moments in the TEMPLATE's
+    dtype: checkpoints store f32 (the NPZ upcast above), and handing f32
+    buffers to the donated bf16-mu train step would force a full retrace
+    plus doubled moment HBM on every resume (trainer._load_snapshot)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import make_tiny_experiment
+
+    from ast_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from ast_tpu.train.trainer import NN
+
+    exp = make_tiny_experiment(
+        str(tmp_path),
+        optimizer={"type": 0, "lr": 0.01, "l2": 0, "grad_clip": 0,
+                   "grad_noise_eta": 0, "freeze": [],
+                   "moments_dtype": "bfloat16"})
+    nn = NN(exp)
+    mu_dtypes = {s.mu and jax.tree.leaves(s.mu)[0].dtype
+                 for s in jax.tree.leaves(
+                     nn.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+                 if hasattr(s, "mu")}
+    assert mu_dtypes == {jnp.dtype(jnp.bfloat16)}
+
+    path = str(tmp_path / "snap.npz")
+    save_checkpoint(path, nn.params, nn.state, opt_state=nn.opt_state)
+    nn._load_snapshot(load_checkpoint(path))
+    mu_after = [jax.tree.leaves(s.mu)[0].dtype
+                for s in jax.tree.leaves(
+                    nn.opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+                if hasattr(s, "mu")]
+    assert set(mu_after) == {jnp.dtype(jnp.bfloat16)}

@@ -61,6 +61,15 @@ def test_serve_decodes_over_http(tmp_path):
                               "w": 0.6})
         assert status == 200 and beam["mode"] == "beam"
         assert beam["artifact"].startswith("beam_")
+        # 'ids' means the same thing in every mode: transcript words
+        # only — no GO prefix, no EOS terminator (beam hyps carry both
+        # internally; greedy cuts at its first EOS)
+        syms = manifest["symbols"]
+        assert syms["EOS"] not in got["ids"]
+        assert not beam["ids"] or beam["ids"][0] != syms["GO"]
+        assert not beam["ids"] or beam["ids"][-1] != syms["EOS"]
+        assert beam["text"] == serve._detok(
+            beam["ids"], state.vocab, "en_w")
 
         # audio body goes through MFCC+CMVN on the server
         status, got = _post(base + "/decode",
