@@ -20,15 +20,20 @@ Endpoints (JSON over HTTP, stdlib server):
   "artifact"}`` plus ``truncated_to_frames`` when the input exceeds
   every exported shape (only that prefix was decoded).
 
-One request is one decode over the artifact's full static batch (the
-remaining rows are padding) — batching across requests is a deployment
-concern this demo keeps out of scope.
+By default one request is one decode over the artifact's full static
+batch (the remaining rows are padding).  ``--batch-window-ms W`` turns
+on cross-request micro-batching: concurrent requests routed to the same
+artifact are collected for up to W ms (or until its static batch is
+full, whichever comes first) and decoded in ONE artifact call — under
+load a batch-128 artifact then serves up to 128 utterances per device
+dispatch instead of one.
 """
 
 import argparse
 import json
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -42,10 +47,92 @@ def _detok(ids, vocab, dec_key):
     return ids_to_text(ids, lambda i: vocab[str(i)], dec_key)
 
 
+class _Pending:
+    """One utterance waiting inside the micro-batcher."""
+
+    __slots__ = ("x", "event", "out", "error")
+
+    def __init__(self, x):
+        self.x = x
+        self.event = threading.Event()
+        self.out = None
+        self.error = None
+
+
+class _MicroBatcher:
+    """Collects concurrent same-artifact requests into one device call.
+
+    A dispatcher thread waits up to ``window_s`` after the first pending
+    request for an artifact (dispatching immediately once its static
+    batch is full), then hands the whole group to ``call_rows`` — the
+    artifact executes once for up to ``batch`` utterances instead of
+    once per request.  Exceptions propagate to every affected waiter."""
+
+    def __init__(self, call_rows, window_s):
+        self._call_rows = call_rows
+        self.window_s = window_s
+        self._cond = threading.Condition()
+        self._pending = {}              # file -> (entry, [_Pending, ...])
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, entry, x):
+        req = _Pending(x)
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("server is shutting down")
+            self._pending.setdefault(entry["file"], (entry, []))[1] \
+                .append(req)
+            self._cond.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.out
+
+    def close(self):
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._thread.join(timeout=5.0)
+
+    def _fullest(self):
+        return max(self._pending.items(), key=lambda kv: len(kv[1][1]))
+
+    def _run(self):
+        while True:
+            with self._cond:
+                while not self._pending and not self._closed:
+                    self._cond.wait()
+                if self._closed and not self._pending:
+                    return
+                deadline = time.monotonic() + self.window_s
+                while not self._closed:
+                    _, (entry, reqs) = self._fullest()
+                    left = deadline - time.monotonic()
+                    if len(reqs) >= entry["batch"] or left <= 0:
+                        break
+                    self._cond.wait(timeout=left)
+                fname, (entry, reqs) = self._fullest()
+                take = reqs[: entry["batch"]]
+                del reqs[: len(take)]
+                if not reqs:
+                    del self._pending[fname]
+            try:
+                outs = self._call_rows(entry, [r.x for r in take])
+                for r, o in zip(take, outs):
+                    r.out = o
+            except Exception as e:       # surface to every waiter
+                for r in take:
+                    r.error = e
+            for r in take:
+                r.event.set()
+
+
 class ArtifactServer:
     """Loads a serving dir; decodes single utterances."""
 
-    def __init__(self, serving_dir, default_w=0.6):
+    def __init__(self, serving_dir, default_w=0.6, batch_window_ms=0.0):
         self.dir = serving_dir
         self.default_w = default_w
         with open(os.path.join(serving_dir, "manifest.json")) as f:
@@ -61,7 +148,10 @@ class ArtifactServer:
         for v in self.entries.values():         # smallest fitting shape first
             v.sort(key=lambda e: (e["frames"], e["batch"]))
         self._mfcc = None
-        self._lock = threading.Lock()           # one decode at a time
+        self._lock = threading.Lock()           # one device call at a time
+        self.batcher = (_MicroBatcher(self._call_rows,
+                                      batch_window_ms / 1000.0)
+                        if batch_window_ms > 0 else None)
 
     def _features(self, body):
         if "features" in body:
@@ -82,6 +172,22 @@ class ArtifactServer:
                               np.float32)
         raise ValueError("body must carry 'features' or 'audio'")
 
+    def _call_rows(self, entry, xs):
+        """Decode utterances ``xs`` (each ``(t, F)``) as rows of one
+        static-batch artifact call; returns per-row output tuples."""
+        T, B = entry["frames"], entry["batch"]
+        X = np.zeros((B, T, xs[0].shape[1]), np.float32)
+        for i, x in enumerate(xs):
+            X[i, : min(T, x.shape[0])] = x[:T]
+        with self._lock:
+            out = self.artifacts[entry["file"]].call(X)
+        # split batch-major outputs per row; scalars (e.g. the greedy
+        # artifact's n_steps) ride along unchanged
+        out = [np.asarray(o) for o in out]
+        return [tuple(o[i] if o.ndim and o.shape[0] == B else o
+                      for o in out)
+                for i in range(len(xs))]
+
     def decode(self, body):
         x = self._features(body)
         mode = body.get("mode") or (
@@ -91,15 +197,15 @@ class ArtifactServer:
             raise ValueError(f"no {mode!r} artifact exported")
         entry = next((e for e in options if e["frames"] >= x.shape[0]),
                      options[-1])
-        T, B = entry["frames"], entry["batch"]
-        X = np.zeros((B, T, x.shape[1]), np.float32)
-        X[0, : min(T, x.shape[0])] = x[:T]
-        with self._lock:
-            out = self.artifacts[entry["file"]].call(X)
+        T = entry["frames"]
+        if self.batcher is not None:
+            row = self.batcher.submit(entry, x)
+        else:
+            row = self._call_rows(entry, [x])[0]
         syms = self.manifest.get("symbols", {"GO": 1, "EOS": 2})
         go_id, eos_id = int(syms["GO"]), int(syms["EOS"])
         if mode == "greedy":
-            raw = np.asarray(out[0])[0]
+            raw = row[0]
             # cut at the utterance's own first EOS: the artifact's
             # static-batch zero-padding rows keep the decode loop alive
             # past it, and post-EOS argmax is babble conditioned beyond
@@ -108,10 +214,10 @@ class ArtifactServer:
             eos = np.nonzero(raw == eos_id)[0]
             ids = [int(i) for i in (raw[: eos[0]] if eos.size else raw)]
         else:
-            hyps, scores, lengths = (np.asarray(a) for a in out)
-            entries = [(hyps[0, n, : int(lengths[0, n])].tolist(),
-                        float(scores[0, n]))
-                       for n in range(hyps.shape[1])]
+            hyps, scores, lengths = row
+            entries = [(hyps[n, : int(lengths[n])].tolist(),
+                        float(scores[n]))
+                       for n in range(hyps.shape[0])]
             w = float(body.get("w", self.default_w))
             ids = [int(i) for i in rerank_hypothesis(entries, w)[0][0]]
             # beam hyps carry the GO prefix and (when finished) the EOS
@@ -130,10 +236,12 @@ class ArtifactServer:
         return resp
 
 
-def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6):
+def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
+                batch_window_ms=0.0):
     """Build (ThreadingHTTPServer, ArtifactServer); caller runs
     ``serve_forever`` (the CLI) or a thread (tests)."""
-    state = ArtifactServer(serving_dir, default_w=default_w)
+    state = ArtifactServer(serving_dir, default_w=default_w,
+                           batch_window_ms=batch_window_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):              # quiet by default
@@ -178,14 +286,26 @@ def main(argv=None):
     parser.add_argument("-w", "--W", type=float, default=0.6,
                         help="default beam length-norm weight "
                              "(per-request 'w' overrides)")
+    parser.add_argument("--batch-window-ms", type=float, default=0.0,
+                        help="micro-batch concurrent requests: wait up "
+                             "to this long to fill an artifact's static "
+                             "batch before dispatching (0 = off)")
     args = parser.parse_args(argv)
 
     httpd, state = make_server(args.serving_dir, args.port, args.host,
-                               default_w=args.W)
+                               default_w=args.W,
+                               batch_window_ms=args.batch_window_ms)
     kinds = {k: len(v) for k, v in state.entries.items() if v}
+    batching = (f", micro-batch window {args.batch_window_ms:g} ms"
+                if state.batcher else "")
     print(f"serving {kinds} artifacts from {args.serving_dir} "
-          f"on http://{args.host}:{httpd.server_address[1]}", flush=True)
-    httpd.serve_forever()
+          f"on http://{args.host}:{httpd.server_address[1]}{batching}",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        if state.batcher is not None:
+            state.batcher.close()
 
 
 if __name__ == "__main__":

@@ -97,3 +97,57 @@ def test_serve_decodes_over_http(tmp_path):
             assert json.loads(r.read())["server"]["default_w"] == 0.6
     finally:
         httpd.shutdown()
+
+
+def test_serve_micro_batches_concurrent_requests(tmp_path):
+    """Two concurrent requests to a batch-2 artifact must share ONE
+    device call (rows of the same static batch) and each get exactly
+    the text the unbatched server returns for its own utterance."""
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--platforms", "cpu", "--dtype", "float32"])
+
+    httpd, state = serve.make_server(out, port=0, batch_window_ms=2000)
+    assert state.batcher is not None
+    import types
+    calls = []
+    for name, art in list(state.artifacts.items()):
+        state.artifacts[name] = types.SimpleNamespace(
+            call=lambda X, _o=art.call, _n=name:
+            (calls.append(_n) or _o(X)))
+
+    speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+    files = sorted(os.listdir(speech))[:2]
+    xs = [np.load(os.path.join(speech, f))[:60] for f in files]
+
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        results = [None, None]
+
+        def hit(i):
+            results[i] = _post(base + "/decode",
+                               {"features": xs[i].tolist(),
+                                "mode": "greedy"})
+
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        assert len(calls) == 1, f"expected 1 batched call, saw {calls}"
+
+        # row outputs match the single-request (unbatched) decode
+        solo = serve.ArtifactServer(out)
+        for i in range(2):
+            status, got = results[i]
+            assert status == 200
+            want = solo.decode({"features": xs[i].tolist(),
+                                "mode": "greedy"})
+            assert got["text"] == want["text"]
+            assert got["ids"] == want["ids"]
+    finally:
+        httpd.shutdown()
+        state.batcher.close()
