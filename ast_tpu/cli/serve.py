@@ -236,6 +236,15 @@ class ArtifactServer:
         return resp
 
 
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog (5) resets connections under
+    # a burst of concurrent clients — exactly the load micro-batching is
+    # for.  Large enough to absorb a full static batch of simultaneous
+    # connects.
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
                 batch_window_ms=0.0):
     """Build (ThreadingHTTPServer, ArtifactServer); caller runs
@@ -273,7 +282,7 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
             except (ValueError, KeyError, TypeError) as e:
                 self._reply(400, {"error": str(e)})
 
-    return ThreadingHTTPServer((host, port), Handler), state
+    return _Server((host, port), Handler), state
 
 
 def main(argv=None):

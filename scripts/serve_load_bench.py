@@ -1,0 +1,141 @@
+"""HTTP serving throughput under concurrent load: micro-batching A/B.
+
+Measures what ``serve.py --batch-window-ms`` buys on the real chip:
+exports one flagship-shaped greedy artifact, starts the HTTP server
+twice (window off / window on), and fires the same pool of concurrent
+clients at both.  Without batching every request pays a full
+static-batch device call (B-1 padding rows of waste); with a window,
+concurrent requests ride the same call, so sustained throughput should
+approach the artifact's raw batch decode rate.
+
+Usage: ``python scripts/serve_load_bench.py [n_requests] [n_clients]
+[B] [T] [stop] [window_ms]``.
+
+The reference has no serving path at all (decode = the research CLI,
+reference: beam.py:45-147); this measures a new capability.
+"""
+
+import json
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _post(url, data):
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return json.loads(r.read())
+
+
+def _drive(base, bodies, n_clients):
+    """Fire all pre-encoded request bodies from a pool of n_clients
+    threads; returns (wall_seconds, texts in request order)."""
+    texts = [None] * len(bodies)
+    it = iter(range(len(bodies)))
+    lock = threading.Lock()
+
+    def worker():
+        while True:
+            with lock:
+                i = next(it, None)
+            if i is None:
+                return
+            texts[i] = _post(base + "/decode", bodies[i])["text"]
+
+    ts = [threading.Thread(target=worker) for _ in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return time.perf_counter() - t0, texts
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    n_requests = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n_clients = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # one bucket width of frames: short telephone utterances keep the
+    # per-request JSON cost (this host has ONE cpu core for client +
+    # server + detok) from masking the device-call saving under test
+    T = int(sys.argv[4]) if len(sys.argv) > 4 else 80
+    stop = int(sys.argv[5]) if len(sys.argv) > 5 else 175
+    window_ms = float(sys.argv[6]) if len(sys.argv) > 6 else 30.0
+
+    from __graft_entry__ import FLAGSHIP_MCFG
+    from ast_tpu import serving
+    from ast_tpu.cli import serve
+    from ast_tpu.models import seq2seq
+
+    with open("experiments/es_en_20h/model_cfg.json") as f:
+        mcfg = json.load(f)
+    vocab_size = FLAGSHIP_MCFG["rnn_config"]["dec_vocab_size"]
+    mcfg["rnn_config"]["dec_vocab_size"] = vocab_size
+    params, state = seq2seq.init_model(jax.random.PRNGKey(0), mcfg)
+
+    platform = jax.devices()[0].platform
+    out_dir = "/tmp/serve_load_bench"
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    exp = serving.export_greedy(params, state, mcfg, B, T, stop,
+                                compute_dtype=jnp.bfloat16,
+                                platforms=(platform,))
+    fname = f"greedy_B{B}_T{T}.jaxexp"
+    nbytes = serving.save_artifact(exp, os.path.join(out_dir, fname))
+    serving.write_manifest(
+        out_dir, [{"file": fname, "kind": "greedy", "batch": B,
+                   "frames": T, "platforms": [platform],
+                   "bytes": nbytes}],
+        mcfg, stop, "bfloat16",
+        i2w={i: f"w{i}" for i in range(vocab_size)}, dec_key="en_w")
+    print(f"exported {fname} ({nbytes:,} bytes, platform={platform}) "
+          f"in {time.time() - t0:.0f}s", flush=True)
+
+    rng = np.random.RandomState(0)
+    bodies = [json.dumps(
+        {"features": rng.randn(T, 13).astype(np.float32).tolist(),
+         "mode": "greedy"}).encode() for _ in range(min(n_requests, 16))]
+    bodies = [bodies[i % len(bodies)] for i in range(n_requests)]
+
+    results = {}
+    for label, window in (("unbatched", 0.0), ("batched", window_ms)):
+        httpd, state_srv = serve.make_server(out_dir, port=0,
+                                             batch_window_ms=window)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            _post(base + "/decode", bodies[0])        # warm (compiles)
+            wall, texts = _drive(base, bodies, n_clients)
+            results[label] = (wall, n_requests / wall, texts)
+            print(f"{label:9s} (window {window:g} ms): {wall:6.2f}s  "
+                  f"{n_requests / wall:8,.1f} utts/sec", flush=True)
+        finally:
+            httpd.shutdown()
+            if state_srv.batcher is not None:
+                state_srv.batcher.close()
+
+    failed = sum(t is None for mode in results.values() for t in mode[2])
+    same = sum(a == b and a is not None
+               for a, b in zip(results["unbatched"][2],
+                               results["batched"][2]))
+    print(f"\nanswers identical across modes: {same}/{n_requests}"
+          + (f"  (FAILED requests: {failed})" if failed else ""))
+    print(f"micro-batching speedup: "
+          f"{results['batched'][1] / results['unbatched'][1]:.2f}x "
+          f"({n_clients} concurrent clients, batch {B}, "
+          f"window {window_ms:g} ms)")
+
+
+if __name__ == "__main__":
+    main()
