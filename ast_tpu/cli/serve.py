@@ -11,6 +11,11 @@ pickle tree, reference: beam.py:45-147).
 Endpoints (JSON over HTTP, stdlib server):
 
 - ``GET /manifest`` — the manifest, plus ``server.default_w``.
+- ``GET /healthz`` — liveness: uptime, the device replicas serving
+  decode calls, artifact count.
+- ``GET /stats`` — serving counters: request/error totals, device
+  calls, batch-slot occupancy, request latency p50/p90/p99 over a
+  sliding window.
 - ``POST /decode`` — body ``{"features": [[...], ...]}`` (one
   utterance, ``(T, 13)`` CMVN'd MFCCs) or ``{"audio": [...]}``
   (raw 8 kHz samples; framed to MFCC + per-utterance CMVN on the
@@ -27,15 +32,25 @@ artifact are collected for up to W ms (or until its static batch is
 full, whichever comes first) and decoded in ONE artifact call — under
 load a batch-128 artifact then serves up to 128 utterances per device
 dispatch instead of one.
+
+``--replicas N`` serves decode calls from the first N local JAX
+devices as a replica pool (0 = every visible device): each call is
+dispatched to whichever device is free, so on a multi-chip host the
+server's decode throughput scales with chips.  Artifacts compile once
+per device on first use; with micro-batching on, up to N batches are
+in flight at once.
 """
 
 import argparse
+import collections
 import json
 import os
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import jax
 import numpy as np
 
 from ast_tpu import serving
@@ -45,6 +60,55 @@ from ast_tpu.ops.beam import rerank_hypothesis
 
 def _detok(ids, vocab, dec_key):
     return ids_to_text(ids, lambda i: vocab[str(i)], dec_key)
+
+
+class _Stats:
+    """Serving counters for ``GET /stats`` (lock-protected)."""
+
+    def __init__(self, window=2048):
+        self._lock = threading.Lock()
+        self.started = time.time()
+        self.requests = 0
+        self.errors = 0
+        self.device_calls = 0
+        self.rows = 0                    # utterances decoded
+        self.slots = 0                   # static-batch capacity used
+        self._lat = collections.deque(maxlen=window)
+
+    def record_request(self, seconds, error=False):
+        with self._lock:
+            self.requests += 1
+            if error:
+                self.errors += 1
+            else:
+                self._lat.append(seconds)
+
+    def record_call(self, rows, batch):
+        with self._lock:
+            self.device_calls += 1
+            self.rows += rows
+            self.slots += batch
+
+    def snapshot(self):
+        with self._lock:
+            lat = sorted(self._lat)
+            out = {
+                "uptime_s": round(time.time() - self.started, 3),
+                "requests": self.requests,
+                "errors": self.errors,
+                "device_calls": self.device_calls,
+                "rows_decoded": self.rows,
+                # fraction of dispatched static-batch rows that carried
+                # real utterances (1.0 = perfectly packed batches)
+                "batch_occupancy": (round(self.rows / self.slots, 4)
+                                    if self.slots else None),
+            }
+        if lat:
+            pick = lambda q: round(lat[min(len(lat) - 1,
+                                           int(q * len(lat)))], 4)
+            out["latency_s"] = {"p50": pick(0.50), "p90": pick(0.90),
+                                "p99": pick(0.99), "n": len(lat)}
+        return out
 
 
 class _Pending:
@@ -66,16 +130,20 @@ class _MicroBatcher:
     request for an artifact (dispatching immediately once its static
     batch is full), then hands the whole group to ``call_rows`` — the
     artifact executes once for up to ``batch`` utterances instead of
-    once per request.  Exceptions propagate to every affected waiter."""
+    once per request.  Exceptions propagate to every affected waiter.
+    With ``workers > 1`` (one per device replica) that many groups can
+    be in flight at once."""
 
-    def __init__(self, call_rows, window_s):
+    def __init__(self, call_rows, window_s, workers=1):
         self._call_rows = call_rows
         self.window_s = window_s
         self._cond = threading.Condition()
         self._pending = {}              # file -> (entry, [_Pending, ...])
         self._closed = False
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        self._threads = [threading.Thread(target=self._run, daemon=True)
+                         for _ in range(max(1, workers))]
+        for t in self._threads:
+            t.start()
 
     def submit(self, entry, x):
         req = _Pending(x)
@@ -94,7 +162,8 @@ class _MicroBatcher:
         with self._cond:
             self._closed = True
             self._cond.notify_all()
-        self._thread.join(timeout=5.0)
+        for t in self._threads:
+            t.join(timeout=5.0)
 
     def _fullest(self):
         return max(self._pending.items(), key=lambda kv: len(kv[1][1]))
@@ -107,12 +176,15 @@ class _MicroBatcher:
                 if self._closed and not self._pending:
                     return
                 deadline = time.monotonic() + self.window_s
-                while not self._closed:
+                while not self._closed and self._pending:
                     _, (entry, reqs) = self._fullest()
                     left = deadline - time.monotonic()
                     if len(reqs) >= entry["batch"] or left <= 0:
                         break
                     self._cond.wait(timeout=left)
+                if not self._pending:
+                    # another worker drained the queue while we waited
+                    continue
                 fname, (entry, reqs) = self._fullest()
                 take = reqs[: entry["batch"]]
                 del reqs[: len(take)]
@@ -132,7 +204,8 @@ class _MicroBatcher:
 class ArtifactServer:
     """Loads a serving dir; decodes single utterances."""
 
-    def __init__(self, serving_dir, default_w=0.6, batch_window_ms=0.0):
+    def __init__(self, serving_dir, default_w=0.6, batch_window_ms=0.0,
+                 replicas=1):
         self.dir = serving_dir
         self.default_w = default_w
         with open(os.path.join(serving_dir, "manifest.json")) as f:
@@ -148,9 +221,21 @@ class ArtifactServer:
         for v in self.entries.values():         # smallest fitting shape first
             v.sort(key=lambda e: (e["frames"], e["batch"]))
         self._mfcc = None
-        self._lock = threading.Lock()           # one device call at a time
+        self.stats = _Stats()
+        # replica pool: each device call checks a device out of the
+        # queue and commits its input there (an Exported call follows
+        # the committed placement), so up to len(devices) calls run
+        # concurrently — one per chip.  replicas=1 keeps the old
+        # one-call-at-a-time behavior on the default device.
+        local = jax.local_devices()
+        n = len(local) if replicas <= 0 else min(replicas, len(local))
+        self.devices = local[: max(1, n)]
+        self._free = queue.Queue()
+        for d in self.devices:
+            self._free.put(d)
         self.batcher = (_MicroBatcher(self._call_rows,
-                                      batch_window_ms / 1000.0)
+                                      batch_window_ms / 1000.0,
+                                      workers=len(self.devices))
                         if batch_window_ms > 0 else None)
 
     def _features(self, body):
@@ -179,8 +264,13 @@ class ArtifactServer:
         X = np.zeros((B, T, xs[0].shape[1]), np.float32)
         for i, x in enumerate(xs):
             X[i, : min(T, x.shape[0])] = x[:T]
-        with self._lock:
-            out = self.artifacts[entry["file"]].call(X)
+        dev = self._free.get()              # block until a replica frees
+        try:
+            out = self.artifacts[entry["file"]].call(
+                jax.device_put(X, dev))
+        finally:
+            self._free.put(dev)
+        self.stats.record_call(len(xs), B)
         # split batch-major outputs per row; scalars (e.g. the greedy
         # artifact's n_steps) ride along unchanged
         out = [np.asarray(o) for o in out]
@@ -246,11 +336,12 @@ class _Server(ThreadingHTTPServer):
 
 
 def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
-                batch_window_ms=0.0):
+                batch_window_ms=0.0, replicas=1):
     """Build (ThreadingHTTPServer, ArtifactServer); caller runs
     ``serve_forever`` (the CLI) or a thread (tests)."""
     state = ArtifactServer(serving_dir, default_w=default_w,
-                           batch_window_ms=batch_window_ms)
+                           batch_window_ms=batch_window_ms,
+                           replicas=replicas)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):              # quiet by default
@@ -268,19 +359,36 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
             if self.path == "/manifest":
                 self._reply(200, dict(state.manifest,
                                       server={"default_w": state.default_w}))
+            elif self.path == "/healthz":
+                self._reply(200, {
+                    "ok": True,
+                    "uptime_s": round(time.time() - state.stats.started, 3),
+                    "replicas": [str(d) for d in state.devices],
+                    "artifacts": len(state.artifacts),
+                    "batching": state.batcher is not None,
+                })
+            elif self.path == "/stats":
+                self._reply(200, state.stats.snapshot())
             else:
-                self._reply(404, {"error": "GET /manifest or POST /decode"})
+                self._reply(404, {"error": "GET /manifest|/healthz|/stats "
+                                           "or POST /decode"})
 
         def do_POST(self):
             if self.path != "/decode":
                 self._reply(404, {"error": "POST /decode"})
                 return
+            t0 = time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                self._reply(200, state.decode(body))
+                out = state.decode(body)
             except (ValueError, KeyError, TypeError) as e:
+                state.stats.record_request(time.monotonic() - t0,
+                                           error=True)
                 self._reply(400, {"error": str(e)})
+                return
+            state.stats.record_request(time.monotonic() - t0)
+            self._reply(200, out)
 
     return _Server((host, port), Handler), state
 
@@ -299,17 +407,24 @@ def main(argv=None):
                         help="micro-batch concurrent requests: wait up "
                              "to this long to fill an artifact's static "
                              "batch before dispatching (0 = off)")
+    parser.add_argument("--replicas", type=int, default=1,
+                        help="serve decode calls from this many local "
+                             "devices as a replica pool (0 = all "
+                             "visible devices; default 1)")
     args = parser.parse_args(argv)
 
     httpd, state = make_server(args.serving_dir, args.port, args.host,
                                default_w=args.W,
-                               batch_window_ms=args.batch_window_ms)
+                               batch_window_ms=args.batch_window_ms,
+                               replicas=args.replicas)
     kinds = {k: len(v) for k, v in state.entries.items() if v}
     batching = (f", micro-batch window {args.batch_window_ms:g} ms"
                 if state.batcher else "")
+    pool = (f", {len(state.devices)} device replicas"
+            if len(state.devices) > 1 else "")
     print(f"serving {kinds} artifacts from {args.serving_dir} "
-          f"on http://{args.host}:{httpd.server_address[1]}{batching}",
-          flush=True)
+          f"on http://{args.host}:{httpd.server_address[1]}"
+          f"{batching}{pool}", flush=True)
     try:
         httpd.serve_forever()
     finally:

@@ -95,6 +95,21 @@ def test_serve_decodes_over_http(tmp_path):
         # manifest carries the server's decode defaults
         with urllib.request.urlopen(base + "/manifest") as r:
             assert json.loads(r.read())["server"]["default_w"] == 0.6
+
+        # liveness + counters endpoints
+        with urllib.request.urlopen(base + "/healthz") as r:
+            health = json.loads(r.read())
+        assert health["ok"] and len(health["replicas"]) == 1
+        assert health["artifacts"] == len(state.artifacts)
+        with urllib.request.urlopen(base + "/stats") as r:
+            stats = json.loads(r.read())
+        # 4 good decodes + 2 rejected bodies over HTTP so far in this
+        # test; device_calls also counts the one in-process
+        # state.decode() comparison above
+        assert stats["requests"] == 6 and stats["errors"] == 2
+        assert stats["device_calls"] == 5
+        assert stats["latency_s"]["n"] == 4
+        assert stats["latency_s"]["p50"] <= stats["latency_s"]["p99"]
     finally:
         httpd.shutdown()
 
@@ -148,6 +163,127 @@ def test_serve_micro_batches_concurrent_requests(tmp_path):
                                 "mode": "greedy"})
             assert got["text"] == want["text"]
             assert got["ids"] == want["ids"]
+    finally:
+        httpd.shutdown()
+        state.batcher.close()
+
+
+def test_serve_replica_pool_runs_devices_concurrently(tmp_path):
+    """With --replicas 2, two concurrent decodes must be in flight on
+    two DISTINCT devices at the same moment (a barrier inside the
+    artifact call proves the overlap — a 1-device pool would deadlock
+    it), and each must return exactly the unbatched single-replica
+    text."""
+    import types
+
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--platforms", "cpu", "--dtype", "float32"])
+
+    httpd, state = serve.make_server(out, port=0, replicas=2)
+    assert len(state.devices) == 2
+
+    rendezvous = threading.Barrier(2, timeout=30)
+    call_devices = []
+    for name, art in list(state.artifacts.items()):
+        def wrapped(X, _o=art.call):
+            call_devices.append(next(iter(X.devices())))
+            rendezvous.wait()          # both calls must overlap
+            return _o(X)
+        state.artifacts[name] = types.SimpleNamespace(call=wrapped)
+
+    speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+    files = sorted(os.listdir(speech))[:2]
+    xs = [np.load(os.path.join(speech, f))[:60] for f in files]
+
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        results = [None, None]
+
+        def hit(i):
+            results[i] = _post(base + "/decode",
+                               {"features": xs[i].tolist(),
+                                "mode": "greedy"})
+
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert len(set(call_devices)) == 2, call_devices
+
+        solo = serve.ArtifactServer(out)
+        for i in range(2):
+            status, got = results[i]
+            assert status == 200
+            want = solo.decode({"features": xs[i].tolist(),
+                                "mode": "greedy"})
+            assert got["text"] == want["text"]
+            assert got["ids"] == want["ids"]
+
+        with urllib.request.urlopen(base + "/healthz") as r:
+            assert len(json.loads(r.read())["replicas"]) == 2
+        with urllib.request.urlopen(base + "/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["device_calls"] == 2 and stats["rows_decoded"] == 2
+        # two 1-row calls on a batch-2 artifact -> half the slots real
+        assert stats["batch_occupancy"] == 0.5
+    finally:
+        httpd.shutdown()
+
+
+def test_serve_micro_batching_with_replica_workers(tmp_path):
+    """Micro-batching + a 2-replica pool: 4 concurrent requests to a
+    batch-2 artifact group into exactly 2 device calls (2 rows each),
+    every answer matching the unbatched single-replica server — the
+    two dispatcher workers must not double-take or drop waiters."""
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--platforms", "cpu", "--dtype", "float32"])
+
+    httpd, state = serve.make_server(out, port=0, batch_window_ms=2000,
+                                     replicas=2)
+    assert len(state.batcher._threads) == 2
+
+    speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+    files = sorted(os.listdir(speech))[:4]
+    xs = [np.load(os.path.join(speech, f))[:60] for f in files]
+
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        results = [None] * 4
+
+        def hit(i):
+            results[i] = _post(base + "/decode",
+                               {"features": xs[i].tolist(),
+                                "mode": "greedy"})
+
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+
+        solo = serve.ArtifactServer(out)
+        for i in range(4):
+            status, got = results[i]
+            assert status == 200
+            want = solo.decode({"features": xs[i].tolist(),
+                                "mode": "greedy"})
+            assert got["text"] == want["text"]
+            assert got["ids"] == want["ids"]
+
+        with urllib.request.urlopen(base + "/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["device_calls"] == 2
+        assert stats["rows_decoded"] == 4
+        assert stats["batch_occupancy"] == 1.0   # perfectly packed
     finally:
         httpd.shutdown()
         state.batcher.close()
