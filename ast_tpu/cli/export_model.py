@@ -44,6 +44,13 @@ def main(argv=None):
     parser.add_argument("--stop-limit", type=int, default=None,
                         help="max decode steps (default data.max_pred)")
     parser.add_argument("--platforms", default="cpu,tpu")
+    parser.add_argument("--native-kernels", action="store_true",
+                        help="bake the fused Mosaic decode kernels into "
+                             "the artifact (TPU-only; forces "
+                             "--platforms tpu).  Decodes at the "
+                             "in-process fused-kernel rate instead of "
+                             "the portable XLA loop; tpu_custom_call is "
+                             "on jax.export's guaranteed-stable list")
     parser.add_argument("--dtype", default=None,
                         choices=["float32", "bfloat16"],
                         help="compute dtype inside the artifact "
@@ -67,6 +74,11 @@ def main(argv=None):
     data_cfg = nn.cfg.train["data"]
     stop_limit = args.stop_limit or int(data_cfg["max_pred"])
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
+    if args.native_kernels:
+        if args.platforms not in ("cpu,tpu", "tpu"):
+            parser.error("--native-kernels artifacts are TPU-only; "
+                         "drop --platforms or pass --platforms tpu")
+        platforms = ["tpu"]
     dtype = (jnp.bfloat16 if args.dtype == "bfloat16"
              else jnp.float32 if args.dtype == "float32"
              else nn.compute_dtype)
@@ -95,7 +107,8 @@ def main(argv=None):
             parser.error(f"--beam expects N,K (got {args.beam!r})")
 
     quant = bool(args.quantize)
-    tag = "_q8" if quant else ""
+    tag = ("_q8" if quant else "") + \
+        ("_tpu" if args.native_kernels else "")
     # quantize once; the export fns detect the pre-quantized tree
     params = (serving.quantize_params(nn.params, args.quantize_min_size)
               if quant else nn.params)
@@ -104,12 +117,15 @@ def main(argv=None):
         exp = serving.export_greedy(
             params, nn.state, nn.mcfg, args.batch, T, stop_limit,
             dtype, platforms, quantize=quant,
-            q_min_size=args.quantize_min_size)
+            q_min_size=args.quantize_min_size,
+            native=args.native_kernels)
         fname = f"greedy_B{args.batch}_T{T}{tag}.jaxexp"
         nbytes = serving.save_artifact(exp, os.path.join(out_dir, fname))
         entries.append({"file": fname, "kind": "greedy",
                         "batch": args.batch, "frames": T,
-                        "platforms": platforms, "bytes": nbytes})
+                        "platforms": platforms, "bytes": nbytes,
+                        **({"native": True} if args.native_kernels
+                           else {})})
         print(f"exported {fname} ({nbytes} bytes, "
               f"platforms={','.join(platforms)})")
         if beam_nk:
@@ -117,13 +133,16 @@ def main(argv=None):
             exp = serving.export_beam(
                 params, nn.state, nn.mcfg, args.batch, T, N, K,
                 stop_limit, dtype, platforms, quantize=quant,
-                q_min_size=args.quantize_min_size)
+                q_min_size=args.quantize_min_size,
+                native=args.native_kernels)
             fname = f"beam_N{N}_K{K}_B{args.batch}_T{T}{tag}.jaxexp"
             nbytes = serving.save_artifact(
                 exp, os.path.join(out_dir, fname))
             entries.append({"file": fname, "kind": "beam", "N": N, "K": K,
                             "batch": args.batch, "frames": T,
-                            "platforms": platforms, "bytes": nbytes})
+                            "platforms": platforms, "bytes": nbytes,
+                            **({"native": True} if args.native_kernels
+                               else {})})
             print(f"exported {fname} ({nbytes} bytes)")
 
     dec_key = data_cfg["dec_key"]

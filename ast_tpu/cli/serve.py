@@ -220,6 +220,14 @@ class ArtifactServer:
                 os.path.join(serving_dir, e["file"]))
         for v in self.entries.values():         # smallest fitting shape first
             v.sort(key=lambda e: (e["frames"], e["batch"]))
+        plat = jax.local_devices()[0].platform
+        native = [e["file"] for v in self.entries.values() for e in v
+                  if e.get("native")]
+        if native and plat != "tpu":
+            # fail at load, not at the first request
+            raise RuntimeError(
+                "native-kernel artifacts require a TPU backend (host "
+                f"platform is {plat!r}): {native}")
         self._mfcc = None
         self.stats = _Stats()
         # replica pool: each device call checks a device out of the

@@ -101,9 +101,36 @@ def _portable_mcfg(mcfg):
     return m
 
 
+def _native_mcfg(mcfg):
+    """Model config with the Mosaic kernel paths forced ON for a
+    TPU-only artifact (``tpu_custom_call`` is on jax.export's
+    guaranteed-stable custom-call list, so the serialized kernels
+    carry the same compatibility promise as plain StableHLO — on TPU).
+    Shape/variant eligibility gates still apply per path; an
+    ineligible model exports its XLA fallback inside the same
+    artifact."""
+    m = copy.deepcopy(mcfg)
+    rnn = m["rnn_config"]
+    rnn["fused_encoder"] = True
+    rnn["fused_decoder"] = True
+    rnn["fused_infer"] = True
+    rnn.pop("fused_interpret", None)
+    return m
+
+
+def _export_mcfg(mcfg, native, platforms):
+    if not native:
+        return _portable_mcfg(mcfg)
+    if list(platforms) != ["tpu"]:
+        raise ValueError("native-kernel artifacts are TPU-only: pass "
+                         f"platforms=['tpu'] (got {list(platforms)})")
+    return _native_mcfg(mcfg)
+
+
 def export_greedy(params, state, mcfg, batch, frames, stop_limit,
                   compute_dtype=jnp.float32, platforms=("cpu", "tpu"),
-                  in_dim=13, quantize=False, q_min_size=4096):
+                  in_dim=13, quantize=False, q_min_size=4096,
+                  native=False):
     """Export batched greedy decode as ``X (B, T, in_dim) f32 ->
     (preds (B, stop_limit) i32, n_steps i32)`` with the weights baked in.
 
@@ -112,12 +139,16 @@ def export_greedy(params, state, mcfg, batch, frames, stop_limit,
     alternatively pass an already-quantized tree as ``params`` (the CLI
     quantizes once and reuses it across the shape ladder).
 
+    ``native=True`` (TPU-only platforms) bakes the fused Mosaic decode
+    kernels into the artifact instead of the portable XLA loop — the
+    deployed decode then runs at the in-process fused rate.
+
     Returns a ``jax.export.Exported``; ``.serialize()`` it to bytes or
     call it in-process via ``.call(X)``.
     """
     from ast_tpu.models import seq2seq
 
-    pmcfg = _portable_mcfg(mcfg)
+    pmcfg = _export_mcfg(mcfg, native, platforms)
     if quantize and not _has_q8(params):
         params = quantize_params(params, q_min_size)
     p_or_q, deq = params, _has_q8(params)
@@ -134,7 +165,8 @@ def export_greedy(params, state, mcfg, batch, frames, stop_limit,
 
 def export_beam(params, state, mcfg, batch, frames, N, K, stop_limit,
                 compute_dtype=jnp.float32, platforms=("cpu", "tpu"),
-                in_dim=13, quantize=False, q_min_size=4096):
+                in_dim=13, quantize=False, q_min_size=4096,
+                native=False):
     """Export batched beam decode as ``X (B, T, in_dim) f32 ->
     (hyps (B, N, stop_limit+1) i32, scores (B, N) f32,
     lengths (B, N) i32)``.
@@ -145,7 +177,7 @@ def export_beam(params, state, mcfg, batch, frames, N, K, stop_limit,
     """
     from ast_tpu.ops.beam import make_beam_decoder
 
-    pmcfg = _portable_mcfg(mcfg)
+    pmcfg = _export_mcfg(mcfg, native, platforms)
     decode = make_beam_decoder(pmcfg, N, K, stop_limit, compute_dtype)
     if quantize and not _has_q8(params):
         params = quantize_params(params, q_min_size)
@@ -170,11 +202,30 @@ def save_artifact(exported, path):
     return len(blob)
 
 
+class LoadedArtifact:
+    """A deserialized artifact whose ``call`` is jitted ONCE.
+
+    A bare ``Exported.call`` re-traces and re-lowers the entire
+    weights-baked-in module on every invocation — measured ~127 ms of
+    host work per call on the flagship (it capped every artifact
+    variant at the same ~1k utts/sec before repeat calls were cached;
+    BASELINE.md round 3).  Wrapping in ``jax.jit`` makes repeat calls a
+    cached dispatch; per-device executables are cached per committed
+    input placement, which is what the serve replica pool relies on.
+    """
+
+    __slots__ = ("exported", "call")
+
+    def __init__(self, exported):
+        self.exported = exported
+        self.call = jax.jit(exported.call)
+
+
 def load_artifact(path):
-    """Deserialize an artifact; run it via ``.call(X)``."""
+    """Deserialize an artifact; run it via ``.call(X)`` (jit-cached)."""
     with open(path, "rb") as f:
         blob = f.read()
-    return jax_export.deserialize(bytearray(blob))
+    return LoadedArtifact(jax_export.deserialize(bytearray(blob)))
 
 
 def write_manifest(out_dir, entries, mcfg, stop_limit, compute_dtype,

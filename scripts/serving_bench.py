@@ -1,11 +1,12 @@
-"""Serving-artifact decode throughput on the real chip: f32 vs int8.
+"""Serving-artifact decode throughput on the real chip: f32 vs int8
+vs --native-kernels.
 
-Exports the flagship greedy decode twice (weights f32 vs --quantize
-int8 semantics) for the TPU platform, then interleaves timed rounds of
-both artifacts on-device.  Validates the deployment-path claim that
-the in-artifact dequant is loop-hoisted by XLA (so int8 costs ~one
-dequant pass per call, not per decode step) and records what the
-portable StableHLO path gives up vs the in-process fused decoder.
+Exports the flagship greedy decode as (a) portable StableHLO with f32
+weights, (b) portable with --quantize int8 semantics, (c) native
+(fused Mosaic kernels baked in, TPU-only), (d) native + int8, then
+interleaves timed rounds of all artifacts on-device.  Validates that
+the in-artifact dequant is loop-hoisted by XLA and measures how much
+of the in-process fused decode rate the native artifact retains.
 Usage: ``python scripts/serving_bench.py [n_rounds] [B] [T] [stop]``.
 """
 
@@ -38,41 +39,88 @@ def main():
     X = np.random.RandomState(0).randn(B, T, 13).astype(np.float32)
 
     arts = {}
-    for name, quant in (("f32", False), ("int8", True)):
+    for name, quant, native in (("f32", False, False),
+                                ("int8", True, False),
+                                ("native", False, True),
+                                ("native_q8", True, True)):
         t0 = time.time()
         import jax.numpy as jnp
         exp = serving.export_greedy(params, state, mcfg, B, T, stop,
                                     compute_dtype=jnp.bfloat16,
-                                    platforms=("tpu",), quantize=quant)
+                                    platforms=("tpu",), quantize=quant,
+                                    native=native)
         blob = exp.serialize()
         from jax import export as jax_export
-        arts[name] = (jax_export.deserialize(bytearray(blob)), len(blob))
+        # jit the deserialized call ONCE: a bare Exported.call re-traces
+        # and re-lowers the whole (weights-baked-in) module every
+        # invocation — ~127 ms of host work per call on this host, which
+        # capped every artifact variant at the same ~1k utts/sec
+        art = jax_export.deserialize(bytearray(blob))
+        arts[name] = (jax.jit(art.call), len(blob))
         print(f"{name}: exported {len(blob):,} bytes "
               f"in {time.time() - t0:.0f}s", flush=True)
 
     # warm (first .call compiles on-device)
     timings = {k: [] for k in arts}
-    for name, (art, _) in arts.items():
+    outs = {}
+    for name, (call, _) in arts.items():
         t0 = time.time()
-        preds, _ = art.call(X)
-        np.asarray(preds)
+        preds, _ = call(X)
+        outs[name] = np.asarray(preds)
         print(f"{name}: first call {time.time() - t0:.0f}s", flush=True)
+    # timed rounds run on a device-resident input: this bench reaches
+    # the chip through a network tunnel, and shipping the (B, T, 13)
+    # f32 input (4.25 MB at the flagship shape) per call swamps the
+    # device time.  A production serving host feeds the chip over
+    # PCIe; the host->device row below documents the tunnel cost.
+    t0 = time.perf_counter()
+    Xd = jax.device_put(X)
+    jax.block_until_ready(Xd)
+    print(f"host->device input transfer: "
+          f"{time.perf_counter() - t0:.3f}s", flush=True)
+    same = (outs["native"] == outs["f32"]).mean()
+    print(f"native vs f32 token agreement: {same:.4f} "
+          "(bf16 op-order differences only)", flush=True)
 
+    # two timing disciplines per round:
+    #  - sync:  one call, block — includes a full tunnel round-trip per
+    #    call, the worst case for a latency-bound client
+    #  - pipe4: 4 calls in flight, one sync — how a serving host
+    #    actually drives the chip (and how bench.py measures the
+    #    in-process fused decoder, 10 deep), so this is the
+    #    apples-to-apples number for "how much of the fused rate does
+    #    the artifact retain"
+    DEPTH = 4
+    piped = {k: [] for k in arts}
     for r in range(n_rounds):
-        for name, (art, _) in arts.items():
+        for name, (call, _) in arts.items():
             t0 = time.perf_counter()
-            preds, _ = art.call(X)
+            preds, _ = call(Xd)
             np.asarray(preds)  # sync
             dt = time.perf_counter() - t0
             timings[name].append(B / dt)
-            print(f"round {r} {name}: {B / dt:,.0f} utts/sec", flush=True)
+            t0 = time.perf_counter()
+            for _ in range(DEPTH):
+                preds, _ = call(Xd)
+            np.asarray(preds)  # one sync for the whole chain
+            dt = time.perf_counter() - t0
+            piped[name].append(DEPTH * B / dt)
+            print(f"round {r} {name}: {timings[name][-1]:,.0f} sync  "
+                  f"{piped[name][-1]:,.0f} pipe{DEPTH} utts/sec",
+                  flush=True)
 
     print()
-    for name, v in timings.items():
-        print(f"{name}: best {max(v):,.0f}  median {np.median(v):,.0f}  "
+    for name in arts:
+        print(f"{name}: sync best {max(timings[name]):,.0f} "
+              f"median {np.median(timings[name]):,.0f}  |  "
+              f"pipe{DEPTH} best {max(piped[name]):,.0f} "
+              f"median {np.median(piped[name]):,.0f}  "
               f"bytes {arts[name][1]:,}")
-    print("int8/f32 median throughput: "
-          f"{np.median(timings['int8']) / np.median(timings['f32']):.3f}")
+    for metric, t in (("sync", timings), (f"pipe{DEPTH}", piped)):
+        print(f"int8/f32 {metric} median: "
+              f"{np.median(t['int8']) / np.median(t['f32']):.3f}   "
+              f"native/f32 {metric} median: "
+              f"{np.median(t['native']) / np.median(t['f32']):.3f}")
 
 
 if __name__ == "__main__":

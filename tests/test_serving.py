@@ -45,6 +45,15 @@ def test_greedy_export_roundtrip(tmp_path):
                                   np.asarray(ref_preds))
     assert int(n_steps) == int(ref_steps)
 
+    # repeat calls must hit the jit cache, not re-trace the whole
+    # weights-baked-in module (~127 ms/call of host work on the
+    # flagship — it capped every artifact variant at ~1k utts/sec
+    # before LoadedArtifact; BASELINE.md round 3)
+    preds2, _ = loaded.call(X)
+    np.testing.assert_array_equal(np.asarray(preds2), np.asarray(preds))
+    assert isinstance(loaded, serving.LoadedArtifact)
+    assert loaded.call._cache_size() == 1
+
 
 def test_beam_export_roundtrip(tmp_path):
     from ast_tpu.ops.beam import make_beam_decoder
@@ -205,3 +214,62 @@ def test_quantized_beam_export_roundtrip(tmp_path):
                                np.asarray(ref_scores), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(lengths),
                                   np.asarray(ref_lengths))
+
+
+ALIGNED_MCFG = {
+    # smallest model that passes the REAL fused-kernel alignment gates
+    # (H/E/A % 128, Vp -> 128): native export must lower the Mosaic
+    # kernels, not the XLA fallback
+    "dropout": {"embed": 0.0, "rnn": 0.0, "out": 0},
+    "rnn_config": {
+        "bi_rnn": True, "enc_layers": 1, "dec_layers": 1,
+        "hidden_units": 128, "embedding_units": 128, "attn_units": 128,
+        "n_attn": 1, "feed_attn": True, "ln": False,
+        "dec_vocab_size": 100,
+    },
+    "cnn_config": {
+        "bn": True,
+        "cnn_layers": [
+            {"in_channels": None, "out_channels": 64, "ksize": [3, 13],
+             "stride": [2, 13], "pad": [1, 0]},
+            {"in_channels": None, "out_channels": 128, "ksize": [3, 1],
+             "stride": [2, 1], "pad": [1, 0]},
+        ],
+    },
+}
+
+
+def test_native_kernel_export_bakes_mosaic_kernels():
+    """--native-kernels artifacts: TPU-only platform set, the fused
+    Mosaic decoders actually lowered (tpu_custom_call in the module —
+    jax.export's guaranteed-stable list), serialize/deserialize
+    roundtrip, and a portability-violating platform set is rejected.
+    Execution is measured on the real chip (scripts/serving_bench.py
+    --native; BASELINE.md)."""
+    import pytest
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    mcfg = copy.deepcopy(ALIGNED_MCFG)
+    params, state = seq2seq.init_model(jax.random.PRNGKey(0), mcfg)
+
+    exp = serving.export_greedy(params, state, mcfg, 8, 32, 6,
+                                jnp.bfloat16, ["tpu"], native=True)
+    assert exp.platforms == ("tpu",)
+    assert "tpu_custom_call" in exp.mlir_module()
+
+    bexp = serving.export_beam(params, state, mcfg, 8, 32, 2, 2, 6,
+                               jnp.bfloat16, ["tpu"], native=True)
+    assert bexp.platforms == ("tpu",)
+    assert "tpu_custom_call" in bexp.mlir_module()
+    again = jax_export.deserialize(bytearray(bexp.serialize()))
+    assert again.platforms == ("tpu",)
+
+    # the portable export of the same model carries NO custom calls
+    port = serving.export_greedy(params, state, mcfg, 8, 32, 6,
+                                 jnp.bfloat16, ["cpu", "tpu"])
+    assert "tpu_custom_call" not in port.mlir_module()
+
+    with pytest.raises(ValueError, match="TPU-only"):
+        serving.export_greedy(params, state, mcfg, 8, 32, 6,
+                              jnp.bfloat16, ["cpu", "tpu"], native=True)
