@@ -39,6 +39,13 @@ dispatched to whichever device is free, so on a multi-chip host the
 server's decode throughput scales with chips.  Artifacts compile once
 per device on first use; with micro-batching on, up to N batches are
 in flight at once.
+
+``--warmup`` compiles every artifact on every replica device in a
+background thread at startup (the flagship's first call costs 10-30 s
+of device compile — BASELINE.md — which would otherwise be paid by the
+first unlucky request per artifact per device).  ``GET /healthz``
+reports ``ready: false`` and the warm progress until it finishes, so a
+load balancer can hold traffic during the compile window.
 """
 
 import argparse
@@ -205,7 +212,7 @@ class ArtifactServer:
     """Loads a serving dir; decodes single utterances."""
 
     def __init__(self, serving_dir, default_w=0.6, batch_window_ms=0.0,
-                 replicas=1):
+                 replicas=1, warmup=False):
         self.dir = serving_dir
         self.default_w = default_w
         with open(os.path.join(serving_dir, "manifest.json")) as f:
@@ -245,6 +252,34 @@ class ArtifactServer:
                                       batch_window_ms / 1000.0,
                                       workers=len(self.devices))
                         if batch_window_ms > 0 else None)
+        # --warmup: compile every artifact on every replica before
+        # traffic; /healthz gates on `ready` until done
+        self._warm_lock = threading.Lock()
+        self.warm_total = (len(self.artifacts) * len(self.devices)
+                           if warmup else 0)
+        self.warm_done = 0
+        self.warm_error = None
+        if warmup:
+            threading.Thread(target=self._warmup, daemon=True).start()
+
+    def _warmup(self):
+        for fname, art in self.artifacts.items():
+            aval = art.exported.in_avals[0]
+            X = np.zeros(aval.shape, aval.dtype)
+            for dev in self.devices:
+                try:
+                    jax.block_until_ready(art.call(jax.device_put(X, dev)))
+                except Exception as e:     # surface via /healthz; the
+                    with self._warm_lock:  # request path re-raises it
+                        if self.warm_error is None:
+                            self.warm_error = f"{fname}: {e}"
+                with self._warm_lock:
+                    self.warm_done += 1
+
+    @property
+    def ready(self):
+        with self._warm_lock:
+            return self.warm_done >= self.warm_total
 
     def _features(self, body):
         if "features" in body:
@@ -344,12 +379,12 @@ class _Server(ThreadingHTTPServer):
 
 
 def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
-                batch_window_ms=0.0, replicas=1):
+                batch_window_ms=0.0, replicas=1, warmup=False):
     """Build (ThreadingHTTPServer, ArtifactServer); caller runs
     ``serve_forever`` (the CLI) or a thread (tests)."""
     state = ArtifactServer(serving_dir, default_w=default_w,
                            batch_window_ms=batch_window_ms,
-                           replicas=replicas)
+                           replicas=replicas, warmup=warmup)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):              # quiet by default
@@ -368,13 +403,20 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
                 self._reply(200, dict(state.manifest,
                                       server={"default_w": state.default_w}))
             elif self.path == "/healthz":
-                self._reply(200, {
+                out = {
                     "ok": True,
+                    "ready": state.ready,
                     "uptime_s": round(time.time() - state.stats.started, 3),
                     "replicas": [str(d) for d in state.devices],
                     "artifacts": len(state.artifacts),
                     "batching": state.batcher is not None,
-                })
+                }
+                if state.warm_total:
+                    out["warmup"] = {"done": state.warm_done,
+                                     "total": state.warm_total}
+                    if state.warm_error:
+                        out["warmup"]["error"] = state.warm_error
+                self._reply(200, out)
             elif self.path == "/stats":
                 self._reply(200, state.stats.snapshot())
             else:
@@ -419,20 +461,27 @@ def main(argv=None):
                         help="serve decode calls from this many local "
                              "devices as a replica pool (0 = all "
                              "visible devices; default 1)")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile every artifact on every replica "
+                             "at startup in the background; /healthz "
+                             "reports ready=false until done")
     args = parser.parse_args(argv)
 
     httpd, state = make_server(args.serving_dir, args.port, args.host,
                                default_w=args.W,
                                batch_window_ms=args.batch_window_ms,
-                               replicas=args.replicas)
+                               replicas=args.replicas,
+                               warmup=args.warmup)
     kinds = {k: len(v) for k, v in state.entries.items() if v}
     batching = (f", micro-batch window {args.batch_window_ms:g} ms"
                 if state.batcher else "")
     pool = (f", {len(state.devices)} device replicas"
             if len(state.devices) > 1 else "")
+    warm = (f", warming {state.warm_total} artifact-replicas"
+            if state.warm_total else "")
     print(f"serving {kinds} artifacts from {args.serving_dir} "
           f"on http://{args.host}:{httpd.server_address[1]}"
-          f"{batching}{pool}", flush=True)
+          f"{batching}{pool}{warm}", flush=True)
     try:
         httpd.serve_forever()
     finally:

@@ -287,3 +287,53 @@ def test_serve_micro_batching_with_replica_workers(tmp_path):
     finally:
         httpd.shutdown()
         state.batcher.close()
+
+
+def test_serve_warmup_readiness(tmp_path):
+    """--warmup: /healthz reports ready=false until every artifact has
+    been compiled on every replica device, warm calls do not pollute
+    the serving stats, and a post-warm decode matches the unwarmed
+    server exactly."""
+    import time as _time
+
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--beam", "2,2", "--platforms", "cpu", "--dtype", "float32"])
+
+    httpd, state = serve.make_server(out, port=0, replicas=2,
+                                     warmup=True)
+    assert state.warm_total == len(state.artifacts) * len(state.devices)
+
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = _time.monotonic() + 120
+        health = None
+        while _time.monotonic() < deadline:
+            with urllib.request.urlopen(base + "/healthz") as r:
+                health = json.loads(r.read())
+            assert health["ok"]            # live even while warming
+            if health["ready"]:
+                break
+            _time.sleep(0.2)
+        assert health["ready"], health
+        assert health["warmup"]["done"] == health["warmup"]["total"] \
+            == state.warm_total
+        assert "error" not in health["warmup"], health
+        # warm compiles bypass the serving counters
+        assert state.stats.device_calls == 0
+
+        speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+        f = sorted(os.listdir(speech))[0]
+        x = np.load(os.path.join(speech, f))[:60]
+        status, got = _post(base + "/decode",
+                            {"features": x.tolist(), "mode": "greedy"})
+        assert status == 200
+        want = serve.ArtifactServer(out).decode(
+            {"features": x.tolist(), "mode": "greedy"})
+        assert got["text"] == want["text"] and got["ids"] == want["ids"]
+        assert state.stats.device_calls == 1
+    finally:
+        httpd.shutdown()
