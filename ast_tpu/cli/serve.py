@@ -20,10 +20,13 @@ Endpoints (JSON over HTTP, stdlib server):
   utterance, ``(T, 13)`` CMVN'd MFCCs) or ``{"audio": [...]}``
   (raw 8 kHz samples; framed to MFCC + per-utterance CMVN on the
   server).  Optional ``"mode": "greedy"|"beam"`` (default: greedy if
-  exported, else beam) and ``"w"`` (beam length-norm weight, default
-  the CLI's ``-w``).  Response: ``{"text", "ids", "mode", "frames",
-  "artifact"}`` plus ``truncated_to_frames`` when the input exceeds
-  every exported shape (only that prefix was decoded).
+  exported, else beam), ``"w"`` (beam length-norm weight, default the
+  CLI's ``-w``) and ``"nbest": n`` (beam mode: also return the top-n
+  reranked hypotheses).  Response: ``{"text", "ids", "mode", "frames",
+  "artifact"}`` plus beam-mode ``score`` (length-normalized) and
+  ``nbest`` (``[{"text", "ids", "score"}]``) when requested, plus
+  ``truncated_to_frames`` when the input exceeds every exported shape
+  (only that prefix was decoded).
 
 By default one request is one decode over the artifact's full static
 batch (the remaining rows are padding).  ``--batch-window-ms W`` turns
@@ -46,6 +49,12 @@ of device compile — BASELINE.md — which would otherwise be paid by the
 first unlucky request per artifact per device).  ``GET /healthz``
 reports ``ready: false`` and the warm progress until it finishes, so a
 load balancer can hold traffic during the compile window.
+
+On SIGTERM the server drains: it stops accepting connections, finishes
+in-flight requests, dispatches anything still queued in the
+micro-batch window, then exits 0 (submissions that arrive mid-drain
+get 503).  The serving mirror of the trainer's graceful-preemption
+handling.
 """
 
 import argparse
@@ -53,6 +62,7 @@ import collections
 import json
 import os
 import queue
+import signal
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -352,17 +362,38 @@ class ArtifactServer:
                         float(scores[n]))
                        for n in range(hyps.shape[0])]
             w = float(body.get("w", self.default_w))
-            ids = [int(i) for i in rerank_hypothesis(entries, w)[0][0]]
+            reranked = rerank_hypothesis(entries, w)
+
             # beam hyps carry the GO prefix and (when finished) the EOS
             # terminator; strip both so 'ids' means the same thing in
             # every mode — the words of the transcript
-            if ids and ids[0] == go_id:
-                ids = ids[1:]
-            if ids and ids[-1] == eos_id:
-                ids = ids[:-1]
+            def _strip(h):
+                h = [int(i) for i in h]
+                if h and h[0] == go_id:
+                    h = h[1:]
+                if h and h[-1] == eos_id:
+                    h = h[:-1]
+                return h
+
+            ids = _strip(reranked[0][0])
         resp = {"text": _detok(ids, self.vocab, self.manifest["dec_key"]),
                 "ids": ids, "mode": mode, "frames": int(x.shape[0]),
                 "artifact": entry["file"]}
+        if mode == "beam":
+            # length-normalized score of the winning hypothesis, plus
+            # the reranked n-best list on request ("nbest": n) — the
+            # standard ASR serving shape for downstream rescoring
+            resp["score"] = float(reranked[0][1])
+            nbest = int(body.get("nbest", 1))
+            if nbest > 1:
+                out = []
+                for hyp, s, _len in reranked[:nbest]:
+                    h = _strip(hyp)
+                    out.append({"ids": h,
+                                "text": _detok(h, self.vocab,
+                                               self.manifest["dec_key"]),
+                                "score": float(s)})
+                resp["nbest"] = out
         if x.shape[0] > T:
             # no exported shape fits: only the first T frames decoded
             resp["truncated_to_frames"] = T
@@ -437,6 +468,11 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
                                            error=True)
                 self._reply(400, {"error": str(e)})
                 return
+            except RuntimeError as e:   # micro-batcher draining
+                state.stats.record_request(time.monotonic() - t0,
+                                           error=True)
+                self._reply(503, {"error": str(e)})
+                return
             state.stats.record_request(time.monotonic() - t0)
             self._reply(200, out)
 
@@ -482,11 +518,26 @@ def main(argv=None):
     print(f"serving {kinds} artifacts from {args.serving_dir} "
           f"on http://{args.host}:{httpd.server_address[1]}"
           f"{batching}{pool}{warm}", flush=True)
+
+    # graceful drain on SIGTERM (rolling restarts, cluster preemption —
+    # the serving mirror of the trainer's preempt handling): stop
+    # accepting connections, finish in-flight requests (server_close
+    # joins handler threads), dispatch anything queued in the
+    # micro-batcher, then exit 0.  New submissions during the drain get
+    # 503.  shutdown() must run off the main thread: the signal handler
+    # interrupts serve_forever itself.
+    def _term(signum, frame):
+        print("SIGTERM: draining in-flight requests and shutting down",
+              flush=True)
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     finally:
         if state.batcher is not None:
-            state.batcher.close()
+            state.batcher.close()        # dispatches remaining groups
+        httpd.server_close()             # joins in-flight handlers
 
 
 if __name__ == "__main__":

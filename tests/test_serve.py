@@ -58,9 +58,20 @@ def test_serve_decodes_over_http(tmp_path):
 
         status, beam = _post(base + "/decode",
                              {"features": x.tolist(), "mode": "beam",
-                              "w": 0.6})
+                              "w": 0.6, "nbest": 2})
         assert status == 200 and beam["mode"] == "beam"
         assert beam["artifact"].startswith("beam_")
+        # beam responses carry the winning length-normalized score and
+        # the requested reranked n-best list (descending scores, entry
+        # 0 == the winner)
+        assert isinstance(beam["score"], float)
+        nbest = beam["nbest"]
+        assert len(nbest) == 2
+        assert nbest[0]["ids"] == beam["ids"]
+        assert nbest[0]["text"] == beam["text"]
+        assert nbest[0]["score"] == beam["score"] >= nbest[1]["score"]
+        assert serve._detok(nbest[1]["ids"], state.vocab, "en_w") \
+            == nbest[1]["text"]
         # 'ids' means the same thing in every mode: transcript words
         # only — no GO prefix, no EOS terminator (beam hyps carry both
         # internally; greedy cuts at its first EOS)
@@ -335,5 +346,54 @@ def test_serve_warmup_readiness(tmp_path):
             {"features": x.tolist(), "mode": "greedy"})
         assert got["text"] == want["text"] and got["ids"] == want["ids"]
         assert state.stats.device_calls == 1
+    finally:
+        httpd.shutdown()
+
+
+def test_serve_graceful_drain(tmp_path):
+    """Shutdown drain (the SIGTERM path's core): closing the
+    micro-batcher dispatches requests still queued in the window (they
+    complete with correct answers), and submissions after the drain get
+    503 instead of a dropped connection."""
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--platforms", "cpu", "--dtype", "float32"])
+
+    # a 60 s window: queued requests only fly when the batch fills or
+    # the batcher is drained — which is what this test forces
+    httpd, state = serve.make_server(out, port=0, batch_window_ms=60000)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+        f = sorted(os.listdir(speech))[0]
+        x = np.load(os.path.join(speech, f))[:60]
+
+        result = [None]
+
+        def hit():
+            result[0] = _post(base + "/decode",
+                              {"features": x.tolist(), "mode": "greedy"})
+
+        t = threading.Thread(target=hit)
+        t.start()
+        # wait until the request is actually queued in the batcher
+        deadline = __import__("time").monotonic() + 30
+        while not state.batcher._pending:
+            assert __import__("time").monotonic() < deadline
+        state.batcher.close()              # the drain
+        t.join(timeout=60)
+        status, got = result[0]
+        assert status == 200
+        want = serve.ArtifactServer(out).decode(
+            {"features": x.tolist(), "mode": "greedy"})
+        assert got["text"] == want["text"]
+
+        # post-drain request: clean 503, not a hang or reset
+        status, err = _post(base + "/decode",
+                            {"features": x.tolist(), "mode": "greedy"})
+        assert status == 503 and "shutting down" in err["error"]
     finally:
         httpd.shutdown()
