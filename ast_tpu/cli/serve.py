@@ -27,6 +27,12 @@ Endpoints (JSON over HTTP, stdlib server):
   ``nbest`` (``[{"text", "ids", "score"}]``) when requested, plus
   ``truncated_to_frames`` when the input exceeds every exported shape
   (only that prefix was decoded).
+- ``POST /decode`` with ``Content-Type: application/octet-stream`` —
+  the binary fast path: the body is one ``.npy`` blob (a 2-D ``(T,
+  n_ceps)`` feature matrix, or a 1-D raw-audio vector), options ride
+  the query string (``?mode=beam&w=0.6&nbest=5``).  JSON float lists
+  cost ~100x the bytes and dominate request time on a small host;
+  production clients should send npy.
 
 By default one request is one decode over the artifact's full static
 batch (the remaining rows are padding).  ``--batch-window-ms W`` turns
@@ -455,13 +461,42 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
                                            "or POST /decode"})
 
         def do_POST(self):
-            if self.path != "/decode":
+            from urllib.parse import parse_qs, urlparse
+            url = urlparse(self.path)
+            if url.path != "/decode":
                 self._reply(404, {"error": "POST /decode"})
                 return
             t0 = time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(n) or b"{}")
+                raw = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/octet-stream"):
+                    # binary fast path: the body is one .npy blob — a
+                    # (T, n_ceps) f32 matrix = features, a 1-D vector =
+                    # raw audio samples.  JSON float lists cost ~100x
+                    # the bytes and dominate this 1-core host's request
+                    # time (BASELINE.md "HTTP serving"); options ride
+                    # the query string (?mode=beam&w=0.6&nbest=5).
+                    import io
+                    arr = np.load(io.BytesIO(raw), allow_pickle=False)
+                    if arr.ndim not in (1, 2):
+                        raise ValueError(
+                            "binary body must be a (T, n_ceps) feature "
+                            f"matrix or a 1-D audio vector (got shape "
+                            f"{arr.shape})")
+                    q = {k: v[-1] for k, v in
+                         parse_qs(url.query).items()}
+                    body = {"features" if arr.ndim == 2 else "audio":
+                            arr.astype(np.float32)}
+                    if "mode" in q:
+                        body["mode"] = q["mode"]
+                    if "w" in q:
+                        body["w"] = float(q["w"])
+                    if "nbest" in q:
+                        body["nbest"] = int(q["nbest"])
+                else:
+                    body = json.loads(raw or b"{}")
                 out = state.decode(body)
             except (ValueError, KeyError, TypeError) as e:
                 state.stats.record_request(time.monotonic() - t0,

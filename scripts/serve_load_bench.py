@@ -26,14 +26,16 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def _post(url, data):
+def _post(url, data,
+          ctype="application/json"):
     req = urllib.request.Request(
-        url, data=data, headers={"Content-Type": "application/json"})
+        url, data=data, headers={"Content-Type": ctype})
     with urllib.request.urlopen(req, timeout=600) as r:
         return json.loads(r.read())
 
 
-def _drive(base, bodies, n_clients):
+def _drive(base, bodies, n_clients, ctype="application/json",
+           path="/decode"):
     """Fire all pre-encoded request bodies from a pool of n_clients
     threads; returns (wall_seconds, texts in request order)."""
     texts = [None] * len(bodies)
@@ -46,7 +48,7 @@ def _drive(base, bodies, n_clients):
                 i = next(it, None)
             if i is None:
                 return
-            texts[i] = _post(base + "/decode", bodies[i])["text"]
+            texts[i] = _post(base + path, bodies[i], ctype)["text"]
 
     ts = [threading.Thread(target=worker) for _ in range(n_clients)]
     t0 = time.perf_counter()
@@ -101,24 +103,43 @@ def main():
     print(f"exported {fname} ({nbytes:,} bytes, platform={platform}) "
           f"in {time.time() - t0:.0f}s", flush=True)
 
+    import io
     rng = np.random.RandomState(0)
-    bodies = [json.dumps(
-        {"features": rng.randn(T, 13).astype(np.float32).tolist(),
-         "mode": "greedy"}).encode() for _ in range(min(n_requests, 16))]
-    bodies = [bodies[i % len(bodies)] for i in range(n_requests)]
+    feats = [rng.randn(T, 13).astype(np.float32)
+             for _ in range(min(n_requests, 16))]
+    bodies = [json.dumps({"features": x.tolist(),
+                          "mode": "greedy"}).encode() for x in feats]
+
+    def _npy(x):
+        buf = io.BytesIO()
+        np.save(buf, x)
+        return buf.getvalue()
+
+    npy_bodies = [_npy(x) for x in feats]
+    idx = [i % len(feats) for i in range(n_requests)]
+    bodies = [bodies[i] for i in idx]
+    npy_bodies = [npy_bodies[i] for i in idx]
+    print(f"body bytes: json {len(bodies[0]):,}  "
+          f"npy {len(npy_bodies[0]):,}", flush=True)
 
     results = {}
-    for label, window in (("unbatched", 0.0), ("batched", window_ms)):
+    # (label, window_ms, request bodies, content type)
+    arms = (("unbatched", 0.0, bodies, "application/json"),
+            ("batched", window_ms, bodies, "application/json"),
+            ("batched+npy", window_ms, npy_bodies,
+             "application/octet-stream"))
+    for label, window, reqs, ctype in arms:
         httpd, state_srv = serve.make_server(out_dir, port=0,
                                              batch_window_ms=window)
         port = httpd.server_address[1]
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         base = f"http://127.0.0.1:{port}"
         try:
-            _post(base + "/decode", bodies[0])        # warm (compiles)
-            wall, texts = _drive(base, bodies, n_clients)
+            _post(base + "/decode?mode=greedy", reqs[0], ctype)  # warm
+            wall, texts = _drive(base, reqs, n_clients, ctype,
+                                 "/decode?mode=greedy")
             results[label] = (wall, n_requests / wall, texts)
-            print(f"{label:9s} (window {window:g} ms): {wall:6.2f}s  "
+            print(f"{label:11s} (window {window:g} ms): {wall:6.2f}s  "
                   f"{n_requests / wall:8,.1f} utts/sec", flush=True)
         finally:
             httpd.shutdown()
@@ -126,15 +147,18 @@ def main():
                 state_srv.batcher.close()
 
     failed = sum(t is None for mode in results.values() for t in mode[2])
-    same = sum(a == b and a is not None
-               for a, b in zip(results["unbatched"][2],
-                               results["batched"][2]))
+    same = sum(a == b == c and a is not None
+               for a, b, c in zip(results["unbatched"][2],
+                                  results["batched"][2],
+                                  results["batched+npy"][2]))
     print(f"\nanswers identical across modes: {same}/{n_requests}"
           + (f"  (FAILED requests: {failed})" if failed else ""))
     print(f"micro-batching speedup: "
           f"{results['batched'][1] / results['unbatched'][1]:.2f}x "
           f"({n_clients} concurrent clients, batch {B}, "
           f"window {window_ms:g} ms)")
+    print(f"npy-body speedup over json (batched): "
+          f"{results['batched+npy'][1] / results['batched'][1]:.2f}x")
 
 
 if __name__ == "__main__":

@@ -7,7 +7,8 @@ weights, (b) portable with --quantize int8 semantics, (c) native
 interleaves timed rounds of all artifacts on-device.  Validates that
 the in-artifact dequant is loop-hoisted by XLA and measures how much
 of the in-process fused decode rate the native artifact retains.
-Usage: ``python scripts/serving_bench.py [n_rounds] [B] [T] [stop]``.
+Usage: ``python scripts/serving_bench.py [n_rounds] [B] [T] [stop]
+[pipe_depth]``.
 """
 
 import json
@@ -90,7 +91,7 @@ def main():
     #    in-process fused decoder, 10 deep), so this is the
     #    apples-to-apples number for "how much of the fused rate does
     #    the artifact retain"
-    DEPTH = 4
+    DEPTH = int(sys.argv[5]) if len(sys.argv) > 5 else 4
     piped = {k: [] for k in arts}
     for r in range(n_rounds):
         for name, (call, _) in arts.items():

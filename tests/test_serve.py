@@ -397,3 +397,65 @@ def test_serve_graceful_drain(tmp_path):
         assert status == 503 and "shutting down" in err["error"]
     finally:
         httpd.shutdown()
+
+
+def test_serve_binary_npy_body(tmp_path):
+    """The binary fast path: an application/octet-stream .npy body
+    (2-D = features, 1-D = audio) with query-string options returns
+    exactly the JSON path's answer; a 3-D blob gets a clean 400."""
+    import io
+
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--beam", "2,2", "--platforms", "cpu", "--dtype", "float32"])
+
+    httpd, state = serve.make_server(out, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    def _post_npy(url, arr):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        req = urllib.request.Request(
+            url, data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        base = f"http://127.0.0.1:{port}"
+        speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+        f = sorted(os.listdir(speech))[0]
+        x = np.load(os.path.join(speech, f))[:60].astype(np.float32)
+
+        status, got = _post_npy(base + "/decode?mode=greedy", x)
+        assert status == 200
+        want = state.decode({"features": x.tolist(), "mode": "greedy"})
+        assert got["text"] == want["text"] and got["ids"] == want["ids"]
+
+        # query-string beam options: w + nbest
+        status, beam = _post_npy(
+            base + "/decode?mode=beam&w=0.6&nbest=2", x)
+        assert status == 200 and beam["mode"] == "beam"
+        want = state.decode({"features": x.tolist(), "mode": "beam",
+                             "w": 0.6, "nbest": 2})
+        assert beam["text"] == want["text"]
+        assert beam["score"] == want["score"]
+        assert beam["nbest"] == want["nbest"]
+
+        # 1-D blob = raw audio through the server-side MFCC front-end
+        audio = (np.random.RandomState(0).randn(4000) * 0.1) \
+            .astype(np.float32)
+        status, got = _post_npy(base + "/decode", audio)
+        assert status == 200
+        want = state.decode({"audio": audio.tolist()})
+        assert got["text"] == want["text"]
+
+        status, err = _post_npy(base + "/decode", np.zeros((2, 3, 4)))
+        assert status == 400 and "1-D audio" in err["error"]
+    finally:
+        httpd.shutdown()
