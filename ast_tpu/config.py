@@ -63,6 +63,11 @@ _EXTRAS_DEFAULTS = {
     # ~1 extra forward of FLOPs buys not holding activations in HBM —
     # for long-utterance / very large-batch configs
     "remat": False,
+    # decode dispatches kept in flight during predict/decode_beam_set:
+    # materializing a batch blocks until it finishes, so depth 1 parks
+    # the device through the host's hyp postprocess; depth 2 overlaps
+    # them.  Identical outputs at any depth (FIFO drain).
+    "decode_pipeline": 2,
 }
 
 _DATA_DEFAULTS = {

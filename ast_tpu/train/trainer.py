@@ -15,6 +15,7 @@ TPU-first internals:
 - greedy eval and beam decode are fully batched on device
 """
 
+import collections
 import math
 import os
 import queue
@@ -672,11 +673,30 @@ class NN:
             epoch=0 if jax.process_count() > 1 else None,
             tail_shrink=self.tail_shrink)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
-        for batch in prefetch:
-            p = self._predict_step(self.params, self.state, batch["X"])
+        inflight = collections.deque()
+
+        def drain():
+            batch, p = inflight.popleft()
             p = np.asarray(p)[: len(batch["utts"])]
             preds.extend(zip(batch["utts"], p.tolist()))
+
+        # keep `decode_pipeline` batches in flight: np.asarray blocks
+        # until THAT batch finishes, so draining eagerly parks the
+        # device while the host materializes + postprocesses; the deque
+        # overlaps batch i's host work with batch i+1's device work
+        depth = self._decode_pipeline_depth()
+        for batch in prefetch:
+            p = self._predict_step(self.params, self.state, batch["X"])
+            inflight.append((batch, p))
+            if len(inflight) >= depth:
+                drain()
+        while inflight:
+            drain()
         return preds
+
+    def _decode_pipeline_depth(self):
+        return max(1, int(self.cfg.train["extras"].get(
+            "decode_pipeline", 2)))
 
     # ------------------------------------------------------------------
     # beam decode (batched on device)
@@ -702,11 +722,10 @@ class NN:
         # one jit per decode set, not per batch (jitting a fresh bound
         # method in the loop would recompile every iteration)
         featurize = jax.jit(self._featurize) if self.wav_mode else None
-        for batch in prefetch:
-            X = batch["X"]
-            if featurize is not None:
-                X = featurize(X)
-            out = decode(self.params, self.state, X)
+        inflight = collections.deque()
+
+        def drain():
+            batch, out = inflight.popleft()
             hyps, scores, lengths = (np.asarray(a) for a in out[:3])
             attn = np.asarray(out[3]) if save_attn else None
             for j, utt in enumerate(batch["utts"]):
@@ -718,6 +737,20 @@ class NN:
                         e = e + (attn[j, n, :L],)
                     entries.append(e)
                 results[utt] = entries
+
+        # pipeline the dispatches (see predict): the per-hyp Python
+        # loop below is the heaviest host postprocess in the repo —
+        # without the deque the device idles through all of it
+        depth = self._decode_pipeline_depth()
+        for batch in prefetch:
+            X = batch["X"]
+            if featurize is not None:
+                X = featurize(X)
+            inflight.append((batch, decode(self.params, self.state, X)))
+            if len(inflight) >= depth:
+                drain()
+        while inflight:
+            drain()
         return results
 
     # ------------------------------------------------------------------
