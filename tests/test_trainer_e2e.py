@@ -141,3 +141,17 @@ def test_copy_params_cli(trained_exp, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(nn_t.params["cnn"][0]["w"]),
         np.asarray(nn_s.params["cnn"][0]["w"]))
+
+
+def test_decode_pipeline_depth_invariance(trained_exp):
+    """extras.decode_pipeline is pure dispatch overlap: predict and
+    decode_beam_set return IDENTICAL results at depth 1 (the old
+    drain-immediately loop) and a deeper pipeline."""
+    outs = {}
+    for depth in (1, 3):
+        nn = NN(trained_exp)
+        nn.cfg.train["extras"]["decode_pipeline"] = depth
+        outs[depth] = (nn.predict("tiny_dev"),
+                       nn.decode_beam_set("tiny_dev", N=2, K=2))
+    assert outs[1][0] == outs[3][0]
+    assert outs[1][1] == outs[3][1]
