@@ -75,7 +75,9 @@ def main(argv=None):
     stop_limit = args.stop_limit or int(data_cfg["max_pred"])
     platforms = [p.strip() for p in args.platforms.split(",") if p.strip()]
     if args.native_kernels:
-        if args.platforms not in ("cpu,tpu", "tpu"):
+        # validate the PARSED list so spellings like "tpu,cpu" or
+        # " tpu" are judged by meaning, not by exact string
+        if not set(platforms) <= {"cpu", "tpu"} or "tpu" not in platforms:
             parser.error("--native-kernels artifacts are TPU-only; "
                          "drop --platforms or pass --platforms tpu")
         platforms = ["tpu"]

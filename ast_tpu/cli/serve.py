@@ -134,16 +134,21 @@ class _Stats:
         return out
 
 
+class ServerDraining(RuntimeError):
+    """Request rejected because the server is shutting down (503)."""
+
+
 class _Pending:
     """One utterance waiting inside the micro-batcher."""
 
-    __slots__ = ("x", "event", "out", "error")
+    __slots__ = ("x", "event", "out", "error", "t")
 
     def __init__(self, x):
         self.x = x
         self.event = threading.Event()
         self.out = None
         self.error = None
+        self.t = time.monotonic()       # arrival: bounds the wait window
 
 
 class _MicroBatcher:
@@ -172,7 +177,7 @@ class _MicroBatcher:
         req = _Pending(x)
         with self._cond:
             if self._closed:
-                raise RuntimeError("server is shutting down")
+                raise ServerDraining("server is shutting down")
             self._pending.setdefault(entry["file"], (entry, []))[1] \
                 .append(req)
             self._cond.notify_all()
@@ -181,12 +186,17 @@ class _MicroBatcher:
             raise req.error
         return req.out
 
-    def close(self):
+    def close(self, timeout=120.0):
+        """Reject new submissions, dispatch everything already queued,
+        and join the dispatcher threads.  The timeout must cover a
+        worst-case device call (a cold flagship compile is 10-30 s,
+        BASELINE.md) or the drain guarantee is hollow."""
         with self._cond:
             self._closed = True
             self._cond.notify_all()
+        deadline = time.monotonic() + timeout
         for t in self._threads:
-            t.join(timeout=5.0)
+            t.join(timeout=max(0.0, deadline - time.monotonic()))
 
     def _fullest(self):
         return max(self._pending.items(), key=lambda kv: len(kv[1][1]))
@@ -198,17 +208,30 @@ class _MicroBatcher:
                     self._cond.wait()
                 if self._closed and not self._pending:
                     return
-                deadline = time.monotonic() + self.window_s
                 while not self._closed and self._pending:
                     _, (entry, reqs) = self._fullest()
-                    left = deadline - time.monotonic()
-                    if len(reqs) >= entry["batch"] or left <= 0:
+                    if len(reqs) >= entry["batch"]:
+                        break
+                    # the OLDEST pending request (each group's list is
+                    # FIFO) sets the deadline, so no request waits more
+                    # than ~window_s past arrival — leftovers from an
+                    # overflowed dispatch keep their original arrival
+                    # time instead of restarting the window
+                    oldest = min(v[1][0].t for v in self._pending.values())
+                    left = oldest + self.window_s - time.monotonic()
+                    if left <= 0:
                         break
                     self._cond.wait(timeout=left)
                 if not self._pending:
                     # another worker drained the queue while we waited
                     continue
+                # dispatch a full group if one exists, else the group
+                # holding the oldest (deadline-expired) request
                 fname, (entry, reqs) = self._fullest()
+                if len(reqs) < entry["batch"]:
+                    fname, (entry, reqs) = min(
+                        self._pending.items(),
+                        key=lambda kv: kv[1][1][0].t)
                 take = reqs[: entry["batch"]]
                 del reqs[: len(take)]
                 if not reqs:
@@ -237,10 +260,13 @@ class ArtifactServer:
             self.vocab = json.load(f)
         self.entries = {"greedy": [], "beam": []}
         self.artifacts = {}
+        self.feat_dim = {}              # file -> expected n_ceps
         for e in self.manifest["entries"]:
             self.entries[e["kind"]].append(e)
-            self.artifacts[e["file"]] = serving.load_artifact(
+            art = serving.load_artifact(
                 os.path.join(serving_dir, e["file"]))
+            self.artifacts[e["file"]] = art
+            self.feat_dim[e["file"]] = int(art.exported.in_avals[0].shape[2])
         for v in self.entries.values():         # smallest fitting shape first
             v.sort(key=lambda e: (e["frames"], e["batch"]))
         plat = jax.local_devices()[0].platform
@@ -294,8 +320,12 @@ class ArtifactServer:
 
     @property
     def ready(self):
+        # a warmup failure means some artifact fails every decode —
+        # stay not-ready so a load balancer gating on `ready` keeps
+        # holding traffic instead of routing to a broken server
         with self._warm_lock:
-            return self.warm_done >= self.warm_total
+            return (self.warm_done >= self.warm_total
+                    and self.warm_error is None)
 
     def _features(self, body):
         if "features" in body:
@@ -320,7 +350,10 @@ class ArtifactServer:
         """Decode utterances ``xs`` (each ``(t, F)``) as rows of one
         static-batch artifact call; returns per-row output tuples."""
         T, B = entry["frames"], entry["batch"]
-        X = np.zeros((B, T, xs[0].shape[1]), np.float32)
+        # width comes from the ARTIFACT, not the first queued request:
+        # a malformed request must not poison requests co-batched with
+        # it (each row is validated in decode() before submit)
+        X = np.zeros((B, T, self.feat_dim[entry["file"]]), np.float32)
         for i, x in enumerate(xs):
             X[i, : min(T, x.shape[0])] = x[:T]
         dev = self._free.get()              # block until a replica frees
@@ -346,6 +379,12 @@ class ArtifactServer:
             raise ValueError(f"no {mode!r} artifact exported")
         entry = next((e for e in options if e["frames"] >= x.shape[0]),
                      options[-1])
+        want = self.feat_dim[entry["file"]]
+        if x.shape[1] != want:
+            # reject BEFORE the micro-batcher: a bad width must fail
+            # only its own request, never the co-batched ones
+            raise ValueError(
+                f"features must be (T, {want}); got (T, {x.shape[1]})")
         T = entry["frames"]
         if self.batcher is not None:
             row = self.batcher.submit(entry, x)
@@ -392,8 +431,11 @@ class ArtifactServer:
             resp["score"] = float(reranked[0][1])
             nbest = int(body.get("nbest", 1))
             if nbest > 1:
-                out = []
-                for hyp, s, _len in reranked[:nbest]:
+                # the winner's strip/detok already happened for the
+                # top-level fields — reuse it (detok is host hot path)
+                out = [{"ids": ids, "text": resp["text"],
+                        "score": resp["score"]}]
+                for hyp, s, _len in reranked[1:nbest]:
                     h = _strip(hyp)
                     out.append({"ids": h,
                                 "text": _detok(h, self.vocab,
@@ -412,7 +454,13 @@ class _Server(ThreadingHTTPServer):
     # for.  Large enough to absorb a full static batch of simultaneous
     # connects.
     request_queue_size = 128
-    daemon_threads = True
+    # NON-daemon handler threads: ThreadingMixIn only tracks (and
+    # server_close() only joins) non-daemon threads, and the SIGTERM
+    # drain guarantee — in-flight requests finish and write their
+    # responses before exit — depends on that join.  The backstop for a
+    # hung device call is the cluster scheduler's SIGKILL, same as the
+    # trainer's preemption contract.
+    daemon_threads = False
 
 
 def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
@@ -441,7 +489,7 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
                                       server={"default_w": state.default_w}))
             elif self.path == "/healthz":
                 out = {
-                    "ok": True,
+                    "ok": state.warm_error is None,
                     "ready": state.ready,
                     "uptime_s": round(time.time() - state.stats.started, 3),
                     "replicas": [str(d) for d in state.devices],
@@ -503,10 +551,17 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
                                            error=True)
                 self._reply(400, {"error": str(e)})
                 return
-            except RuntimeError as e:   # micro-batcher draining
+            except ServerDraining as e:     # retryable: shutting down
                 state.stats.record_request(time.monotonic() - t0,
                                            error=True)
                 self._reply(503, {"error": str(e)})
+                return
+            except RuntimeError as e:
+                # device-side failures (XlaRuntimeError subclasses
+                # RuntimeError) are server faults, not retryable drains
+                state.stats.record_request(time.monotonic() - t0,
+                                           error=True)
+                self._reply(500, {"error": str(e)})
                 return
             state.stats.record_request(time.monotonic() - t0)
             self._reply(200, out)
@@ -570,6 +625,10 @@ def main(argv=None):
     try:
         httpd.serve_forever()
     finally:
+        # order matters: draining the batcher unblocks handler threads
+        # waiting on their _Pending events, THEN server_close joins the
+        # (non-daemon) handler threads so every accepted request has
+        # written its response before the process exits
         if state.batcher is not None:
             state.batcher.close()        # dispatches remaining groups
         httpd.server_close()             # joins in-flight handlers

@@ -66,8 +66,12 @@ _EXTRAS_DEFAULTS = {
     # decode dispatches kept in flight during predict/decode_beam_set:
     # materializing a batch blocks until it finishes, so depth 1 parks
     # the device through the host's hyp postprocess; depth 2 overlaps
-    # them.  Identical outputs at any depth (FIFO drain).
-    "decode_pipeline": 2,
+    # them.  Identical outputs at any depth (FIFO drain).  None = auto:
+    # 2, except 1 when the outputs are memory-heavy (save_attn beams
+    # carry a (B, N, stop_limit, T') history per in-flight batch —
+    # doubling THAT near the device-memory limit can OOM a config that
+    # decoded fine before pipelining existed).
+    "decode_pipeline": None,
 }
 
 _DATA_DEFAULTS = {

@@ -694,9 +694,15 @@ class NN:
             drain()
         return preds
 
-    def _decode_pipeline_depth(self):
-        return max(1, int(self.cfg.train["extras"].get(
-            "decode_pipeline", 2)))
+    def _decode_pipeline_depth(self, heavy_outputs=False):
+        """Decode dispatches kept in flight.  ``None`` (the default)
+        resolves to 2, except 1 when ``heavy_outputs`` (save_attn beam
+        histories) would double a near-limit memory footprint; an
+        explicit ``extras.decode_pipeline`` always wins."""
+        depth = self.cfg.train["extras"].get("decode_pipeline")
+        if depth is None:
+            return 1 if heavy_outputs else 2
+        return max(1, int(depth))
 
     # ------------------------------------------------------------------
     # beam decode (batched on device)
@@ -741,7 +747,7 @@ class NN:
         # pipeline the dispatches (see predict): the per-hyp Python
         # loop below is the heaviest host postprocess in the repo —
         # without the deque the device idles through all of it
-        depth = self._decode_pipeline_depth()
+        depth = self._decode_pipeline_depth(heavy_outputs=save_attn)
         for batch in prefetch:
             X = batch["X"]
             if featurize is not None:

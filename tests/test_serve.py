@@ -380,9 +380,11 @@ def test_serve_graceful_drain(tmp_path):
         t = threading.Thread(target=hit)
         t.start()
         # wait until the request is actually queued in the batcher
-        deadline = __import__("time").monotonic() + 30
+        time_mod = __import__("time")
+        deadline = time_mod.monotonic() + 30
         while not state.batcher._pending:
-            assert __import__("time").monotonic() < deadline
+            assert time_mod.monotonic() < deadline
+            time_mod.sleep(0.01)   # don't GIL-starve the handler thread
         state.batcher.close()              # the drain
         t.join(timeout=60)
         status, got = result[0]
@@ -457,5 +459,105 @@ def test_serve_binary_npy_body(tmp_path):
 
         status, err = _post_npy(base + "/decode", np.zeros((2, 3, 4)))
         assert status == 400 and "1-D audio" in err["error"]
+    finally:
+        httpd.shutdown()
+
+
+def test_serve_bad_width_fails_only_itself(tmp_path):
+    """A malformed request (wrong feature width) co-batched with a
+    well-formed one must 400 alone: width is validated BEFORE the
+    micro-batcher, and the batch buffer takes its width from the
+    artifact, not from whichever request queued first."""
+    import time as _time
+
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--platforms", "cpu", "--dtype", "float32"])
+
+    httpd, state = serve.make_server(out, port=0, batch_window_ms=500)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+        f = sorted(os.listdir(speech))[0]
+        good = np.load(os.path.join(speech, f))[:60]
+        bad = np.zeros((60, 7), np.float32)      # wrong n_ceps
+
+        results = {}
+
+        def hit(name, x):
+            results[name] = _post(base + "/decode",
+                                  {"features": x.tolist(),
+                                   "mode": "greedy"})
+
+        # the BAD request goes first so the old buffer-width-from-
+        # first-request bug would have poisoned the good one
+        ts = [threading.Thread(target=hit, args=("bad", bad)),
+              threading.Thread(target=hit, args=("good", good))]
+        ts[0].start()
+        _time.sleep(0.05)
+        ts[1].start()
+        for t in ts:
+            t.join(timeout=60)
+
+        status, err = results["bad"]
+        assert status == 400 and "features must be" in err["error"]
+        status, got = results["good"]
+        assert status == 200
+        want = serve.ArtifactServer(out).decode(
+            {"features": good.tolist(), "mode": "greedy"})
+        assert got["text"] == want["text"] and got["ids"] == want["ids"]
+    finally:
+        httpd.shutdown()
+        state.batcher.close()
+
+
+def test_serve_warm_failure_stays_not_ready(tmp_path, monkeypatch):
+    """A warmup compile failure must keep /healthz at ready=false (an
+    LB gating on `ready` must not route to a broken artifact), flip
+    `ok` to false, and the request path must surface the device fault
+    as 500 — not the retryable 503 reserved for drains."""
+    import time as _time
+
+    from ast_tpu import serving as _serving
+
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--platforms", "cpu", "--dtype", "float32"])
+
+    real = _serving.load_artifact
+
+    class _Boom:
+        def __init__(self, art):
+            self.exported = art.exported
+
+        def call(self, X):
+            raise RuntimeError("device compile failed")
+
+    monkeypatch.setattr(serve.serving, "load_artifact",
+                        lambda p: _Boom(real(p)))
+    httpd, state = serve.make_server(out, port=0, warmup=True)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = _time.monotonic() + 60
+        while state.warm_done < state.warm_total:
+            assert _time.monotonic() < deadline
+            _time.sleep(0.05)
+        with urllib.request.urlopen(base + "/healthz") as r:
+            health = json.loads(r.read())
+        assert health["ready"] is False
+        assert health["ok"] is False
+        assert "device compile failed" in health["warmup"]["error"]
+
+        # device faults are server errors, not retryable drains
+        x = np.zeros((60, 13), np.float32)
+        status, err = _post(base + "/decode",
+                            {"features": x.tolist(), "mode": "greedy"})
+        assert status == 500 and "device compile failed" in err["error"]
     finally:
         httpd.shutdown()
