@@ -561,3 +561,63 @@ def test_serve_warm_failure_stays_not_ready(tmp_path, monkeypatch):
         assert status == 500 and "device compile failed" in err["error"]
     finally:
         httpd.shutdown()
+
+
+def test_serve_cli_sigterm_drains_inflight_request(tmp_path):
+    """The full drain guarantee through the REAL process path: SIGTERM
+    to the serve CLI while a request sits queued in the micro-batch
+    window must still answer that request with 200 (the batcher drain +
+    the non-daemon handler join in main()'s finally), then exit 0.
+    Only the in-process pieces were pinned before; a daemon handler
+    thread would pass those and still drop the response at exit."""
+    import signal as _signal
+    import subprocess
+    import sys
+    import time as _time
+
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--platforms", "cpu", "--dtype", "float32"])
+
+    # a long window guarantees the request is still queued (not yet
+    # dispatched) when SIGTERM lands
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from ast_tpu.cli import serve;"
+         f"serve.main(['-d', {out!r}, '--port', '0',"
+         " '--batch-window-ms', '60000'])"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        # the CLI prints its bound address once the server is up
+        line = proc.stdout.readline()
+        assert "http://127.0.0.1:" in line, line
+        base = line.split("on ")[1].split()[0].rstrip(",")
+
+        speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+        f = sorted(os.listdir(speech))[0]
+        x = np.load(os.path.join(speech, f))[:60]
+
+        result = [None]
+
+        def hit():
+            result[0] = _post(base + "/decode",
+                              {"features": x.tolist(), "mode": "greedy"})
+
+        t = threading.Thread(target=hit)
+        t.start()
+        _time.sleep(1.0)          # request reaches the window queue
+        assert result[0] is None  # ...and is genuinely still pending
+        proc.send_signal(_signal.SIGTERM)
+        t.join(timeout=120)
+        assert result[0] is not None, "in-flight request was dropped"
+        status, got = result[0]
+        assert status == 200
+        want = serve.ArtifactServer(out).decode(
+            {"features": x.tolist(), "mode": "greedy"})
+        assert got["text"] == want["text"] and got["ids"] == want["ids"]
+        assert proc.wait(timeout=120) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
