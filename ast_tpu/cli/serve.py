@@ -33,6 +33,14 @@ Endpoints (JSON over HTTP, stdlib server):
   the query string (``?mode=beam&w=0.6&nbest=5``).  JSON float lists
   cost ~100x the bytes and dominate request time on a small host;
   production clients should send npy.
+- ``POST /decode_batch`` — bulk decode: ``{"batch": [item, ...]}``
+  where each item is a ``/decode`` body; top-level ``mode``/``w``/
+  ``nbest`` apply to all.  Rows are grouped by artifact and dispatched
+  in static-batch chunks, so one client fills whole device batches
+  without concurrency or the micro-batch window.  Per-row errors
+  isolate (``{"error": ...}`` in that slot).  Binary variant: a 3-D
+  ``(B, T, n_ceps)`` ``.npy`` stack.  Response ``{"results": [...]}``
+  in input order.
 
 By default one request is one decode over the artifact's full static
 batch (the remaining rows are padding).  ``--batch-window-ms W`` turns
@@ -370,10 +378,10 @@ class ArtifactServer:
                       for o in out)
                 for i in range(len(xs))]
 
-    def decode(self, body):
-        x = self._features(body)
-        mode = body.get("mode") or (
-            "greedy" if self.entries["greedy"] else "beam")
+    def _pick_entry(self, mode, x):
+        """Select the smallest fitting artifact for one utterance and
+        validate its feature width (BEFORE any batching, so a bad width
+        fails only its own request)."""
         options = self.entries.get(mode)
         if not options:
             raise ValueError(f"no {mode!r} artifact exported")
@@ -381,15 +389,25 @@ class ArtifactServer:
                      options[-1])
         want = self.feat_dim[entry["file"]]
         if x.shape[1] != want:
-            # reject BEFORE the micro-batcher: a bad width must fail
-            # only its own request, never the co-batched ones
             raise ValueError(
                 f"features must be (T, {want}); got (T, {x.shape[1]})")
-        T = entry["frames"]
+        return entry
+
+    def decode(self, body):
+        x = self._features(body)
+        mode = body.get("mode") or (
+            "greedy" if self.entries["greedy"] else "beam")
+        entry = self._pick_entry(mode, x)
         if self.batcher is not None:
             row = self.batcher.submit(entry, x)
         else:
             row = self._call_rows(entry, [x])[0]
+        return self._row_response(row, mode, entry, body, x.shape[0])
+
+    def _row_response(self, row, mode, entry, body, n_frames):
+        """Build the per-utterance response dict from one artifact
+        output row (shared by /decode and /decode_batch)."""
+        T = entry["frames"]
         syms = self.manifest.get("symbols", {"GO": 1, "EOS": 2})
         go_id, eos_id = int(syms["GO"]), int(syms["EOS"])
         if mode == "greedy":
@@ -422,7 +440,7 @@ class ArtifactServer:
 
             ids = _strip(reranked[0][0])
         resp = {"text": _detok(ids, self.vocab, self.manifest["dec_key"]),
-                "ids": ids, "mode": mode, "frames": int(x.shape[0]),
+                "ids": ids, "mode": mode, "frames": int(n_frames),
                 "artifact": entry["file"]}
         if mode == "beam":
             # length-normalized score of the winning hypothesis, plus
@@ -442,10 +460,50 @@ class ArtifactServer:
                                                self.manifest["dec_key"]),
                                 "score": float(s)})
                 resp["nbest"] = out
-        if x.shape[0] > T:
+        if n_frames > T:
             # no exported shape fits: only the first T frames decoded
             resp["truncated_to_frames"] = T
         return resp
+
+    def decode_batch(self, body):
+        """Bulk decode: ``{"batch": [item, ...]}`` where each item is a
+        ``/decode`` body (``features`` or ``audio``); top-level
+        ``mode``/``w``/``nbest`` apply to every item.  Rows are grouped
+        by their selected artifact and dispatched in static-batch-sized
+        chunks, so ONE client fills whole device batches without
+        needing concurrency or the micro-batch window.  Per-row errors
+        isolate: a malformed item yields ``{"error": ...}`` in its slot
+        while the rest decode.  Returns ``{"results": [...]}`` in input
+        order."""
+        if self.batcher is not None and self.batcher._closed:
+            raise ServerDraining("server is shutting down")
+        items = body.get("batch")
+        if not isinstance(items, list) or not items:
+            raise ValueError("body must carry a non-empty 'batch' list")
+        mode = body.get("mode") or (
+            "greedy" if self.entries["greedy"] else "beam")
+        opts = {k: body[k] for k in ("w", "nbest") if k in body}
+        results = [None] * len(items)
+        groups = {}                      # entry file -> (entry, [i, ...])
+        xs = {}
+        for i, item in enumerate(items):
+            try:
+                x = self._features(item)
+                entry = self._pick_entry(mode, x)
+            except (ValueError, KeyError, TypeError) as e:
+                results[i] = {"error": str(e)}
+                continue
+            xs[i] = x
+            groups.setdefault(entry["file"], (entry, []))[1].append(i)
+        for entry, idxs in groups.values():
+            B = entry["batch"]
+            for c in range(0, len(idxs), B):
+                chunk = idxs[c: c + B]
+                rows = self._call_rows(entry, [xs[i] for i in chunk])
+                for i, row in zip(chunk, rows):
+                    results[i] = self._row_response(
+                        row, mode, entry, opts, xs[i].shape[0])
+        return {"results": results}
 
 
 class _Server(ThreadingHTTPServer):
@@ -511,9 +569,10 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
         def do_POST(self):
             from urllib.parse import parse_qs, urlparse
             url = urlparse(self.path)
-            if url.path != "/decode":
-                self._reply(404, {"error": "POST /decode"})
+            if url.path not in ("/decode", "/decode_batch"):
+                self._reply(404, {"error": "POST /decode|/decode_batch"})
                 return
+            bulk = url.path == "/decode_batch"
             t0 = time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -522,21 +581,30 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
                 if ctype.startswith("application/octet-stream"):
                     # binary fast path: the body is one .npy blob — a
                     # (T, n_ceps) f32 matrix = features, a 1-D vector =
-                    # raw audio samples.  JSON float lists cost ~100x
-                    # the bytes and dominate this 1-core host's request
-                    # time (BASELINE.md "HTTP serving"); options ride
-                    # the query string (?mode=beam&w=0.6&nbest=5).
+                    # raw audio samples; for /decode_batch a (B, T,
+                    # n_ceps) stack = B feature matrices.  JSON float
+                    # lists cost ~100x the bytes and dominate this
+                    # 1-core host's request time (BASELINE.md "HTTP
+                    # serving"); options ride the query string
+                    # (?mode=beam&w=0.6&nbest=5).
                     import io
                     arr = np.load(io.BytesIO(raw), allow_pickle=False)
-                    if arr.ndim not in (1, 2):
+                    want_nd = (3,) if bulk else (1, 2)
+                    if arr.ndim not in want_nd:
                         raise ValueError(
+                            "binary body must be a (B, T, n_ceps) "
+                            "feature stack" if bulk else
                             "binary body must be a (T, n_ceps) feature "
                             f"matrix or a 1-D audio vector (got shape "
                             f"{arr.shape})")
+                    arr = arr.astype(np.float32)
                     q = {k: v[-1] for k, v in
                          parse_qs(url.query).items()}
-                    body = {"features" if arr.ndim == 2 else "audio":
-                            arr.astype(np.float32)}
+                    if bulk:
+                        body = {"batch": [{"features": a} for a in arr]}
+                    else:
+                        body = {"features" if arr.ndim == 2 else "audio":
+                                arr}
                     if "mode" in q:
                         body["mode"] = q["mode"]
                     if "w" in q:
@@ -545,7 +613,8 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
                         body["nbest"] = int(q["nbest"])
                 else:
                     body = json.loads(raw or b"{}")
-                out = state.decode(body)
+                out = (state.decode_batch(body) if bulk
+                       else state.decode(body))
             except (ValueError, KeyError, TypeError) as e:
                 state.stats.record_request(time.monotonic() - t0,
                                            error=True)

@@ -621,3 +621,76 @@ def test_serve_cli_sigterm_drains_inflight_request(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_serve_decode_batch(tmp_path):
+    """POST /decode_batch: every row's result equals the single-request
+    /decode result for that utterance (same entry selection + padding
+    semantics), rows are grouped into static-batch device calls, a
+    malformed row errors alone, and the binary (B, T, F) stack variant
+    matches the JSON variant."""
+    import io
+    import urllib.error
+
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--beam", "2,2", "--platforms", "cpu", "--dtype", "float32"])
+
+    httpd, state = serve.make_server(out, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+        files = sorted(os.listdir(speech))[:3]
+        xs = [np.load(os.path.join(speech, f))[:60].astype(np.float32)
+              for f in files]
+
+        # 3 rows + 1 malformed on a batch-2 artifact -> 2 device calls
+        calls_before = state.stats.device_calls
+        body = {"batch": ([{"features": x.tolist()} for x in xs]
+                          + [{"features": np.zeros((4, 7)).tolist()}]),
+                "mode": "greedy"}
+        status, got = _post(base + "/decode_batch", body)
+        assert status == 200
+        results = got["results"]
+        assert len(results) == 4
+        assert state.stats.device_calls - calls_before == 2
+        for x, r in zip(xs, results[:3]):
+            want = state.decode({"features": x.tolist(),
+                                 "mode": "greedy"})
+            assert r["text"] == want["text"] and r["ids"] == want["ids"]
+        assert "features must be" in results[3]["error"]
+
+        # beam mode with shared w/nbest options
+        body = {"batch": [{"features": x.tolist()} for x in xs[:2]],
+                "mode": "beam", "w": 0.6, "nbest": 2}
+        status, got = _post(base + "/decode_batch", body)
+        assert status == 200
+        for x, r in zip(xs, got["results"]):
+            want = state.decode({"features": x.tolist(), "mode": "beam",
+                                 "w": 0.6, "nbest": 2})
+            assert r["text"] == want["text"]
+            assert r["score"] == want["score"]
+            assert r["nbest"] == want["nbest"]
+
+        # binary (B, T, F) stack == the JSON list variant
+        stack = np.stack([x[:60] for x in xs[:2]])
+        buf = io.BytesIO()
+        np.save(buf, stack)
+        req = urllib.request.Request(
+            base + "/decode_batch?mode=greedy", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req) as r:
+            got_bin = json.loads(r.read())
+        want = state.decode_batch(
+            {"batch": [{"features": x} for x in stack],
+             "mode": "greedy"})
+        assert got_bin["results"] == want["results"]
+
+        # an empty batch is the requester's fault
+        status, err = _post(base + "/decode_batch", {"batch": []})
+        assert status == 400 and "non-empty" in err["error"]
+    finally:
+        httpd.shutdown()
