@@ -146,11 +146,56 @@ def main():
             if state_srv.batcher is not None:
                 state_srv.batcher.close()
 
+    # bulk arm: ONE request = one full static batch via /decode_batch
+    # (binary (B, T, F) stack) — no window, no request concurrency
+    # needed; a few clients keep calls pipelined across the window
+    # the server spends in host postprocess
+    stacks = [np.stack([feats[i] for i in idx[c: c + B]])
+              for c in range(0, n_requests, B)]
+    bulk_bodies = [_npy(s) for s in stacks]
+    print(f"bulk body bytes: {len(bulk_bodies[0]):,} "
+          f"({B} utts/request)", flush=True)
+    httpd, state_srv = serve.make_server(out_dir, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        _post(base + "/decode_batch?mode=greedy", bulk_bodies[0],
+              "application/octet-stream")                       # warm
+        chunks = [None] * len(bulk_bodies)
+        it = iter(range(len(bulk_bodies)))
+        lock = threading.Lock()
+
+        def bulk_worker():
+            while True:
+                with lock:
+                    i = next(it, None)
+                if i is None:
+                    return
+                out = _post(base + "/decode_batch?mode=greedy",
+                            bulk_bodies[i], "application/octet-stream")
+                chunks[i] = [r.get("text") for r in out["results"]]
+
+        ts = [threading.Thread(target=bulk_worker) for _ in range(4)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        bulk_texts = [t for c in chunks for t in c]
+        results["bulk"] = (wall, n_requests / wall, bulk_texts)
+        print(f"{'bulk':11s} (1 req = {B} utts): {wall:6.2f}s  "
+              f"{n_requests / wall:8,.1f} utts/sec", flush=True)
+    finally:
+        httpd.shutdown()
+
     failed = sum(t is None for mode in results.values() for t in mode[2])
-    same = sum(a == b == c and a is not None
-               for a, b, c in zip(results["unbatched"][2],
-                                  results["batched"][2],
-                                  results["batched+npy"][2]))
+    same = sum(a == b == c == d and a is not None
+               for a, b, c, d in zip(results["unbatched"][2],
+                                     results["batched"][2],
+                                     results["batched+npy"][2],
+                                     results["bulk"][2]))
     print(f"\nanswers identical across modes: {same}/{n_requests}"
           + (f"  (FAILED requests: {failed})" if failed else ""))
     print(f"micro-batching speedup: "
@@ -159,6 +204,8 @@ def main():
           f"window {window_ms:g} ms)")
     print(f"npy-body speedup over json (batched): "
           f"{results['batched+npy'][1] / results['batched'][1]:.2f}x")
+    print(f"bulk /decode_batch speedup over batched+npy: "
+          f"{results['bulk'][1] / results['batched+npy'][1]:.2f}x")
 
 
 if __name__ == "__main__":
