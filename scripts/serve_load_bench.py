@@ -9,7 +9,8 @@ concurrent requests ride the same call, so sustained throughput should
 approach the artifact's raw batch decode rate.
 
 Usage: ``python scripts/serve_load_bench.py [n_requests] [n_clients]
-[B] [T] [stop] [window_ms]``.
+[B] [T] [stop] [window_ms] [native]`` (``native=1``: bake the fused
+Mosaic decode kernels into the artifact — TPU backend required).
 
 The reference has no serving path at all (decode = the research CLI,
 reference: beam.py:45-147); this measures a new capability.
@@ -72,6 +73,7 @@ def main():
     T = int(sys.argv[4]) if len(sys.argv) > 4 else 80
     stop = int(sys.argv[5]) if len(sys.argv) > 5 else 175
     window_ms = float(sys.argv[6]) if len(sys.argv) > 6 else 30.0
+    native = bool(int(sys.argv[7])) if len(sys.argv) > 7 else False
 
     from __graft_entry__ import FLAGSHIP_MCFG
     from ast_tpu import serving
@@ -91,16 +93,19 @@ def main():
     t0 = time.time()
     exp = serving.export_greedy(params, state, mcfg, B, T, stop,
                                 compute_dtype=jnp.bfloat16,
-                                platforms=(platform,))
+                                platforms=(platform,), native=native)
     fname = f"greedy_B{B}_T{T}.jaxexp"
     nbytes = serving.save_artifact(exp, os.path.join(out_dir, fname))
+    entry = {"file": fname, "kind": "greedy", "batch": B,
+             "frames": T, "platforms": [platform], "bytes": nbytes}
+    if native:
+        entry["native"] = True
     serving.write_manifest(
-        out_dir, [{"file": fname, "kind": "greedy", "batch": B,
-                   "frames": T, "platforms": [platform],
-                   "bytes": nbytes}],
+        out_dir, [entry],
         mcfg, stop, "bfloat16",
         i2w={i: f"w{i}" for i in range(vocab_size)}, dec_key="en_w")
-    print(f"exported {fname} ({nbytes:,} bytes, platform={platform}) "
+    print(f"exported {fname} ({nbytes:,} bytes, platform={platform}"
+          f"{', native kernels' if native else ''}) "
           f"in {time.time() - t0:.0f}s", flush=True)
 
     import io
