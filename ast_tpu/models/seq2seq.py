@@ -865,11 +865,15 @@ def _fused_greedy(params, mcfg, enc_states, dec_h0, dec_c0, stop_limit,
 # ---------------------------------------------------------------------------
 
 def make_enc_mask(mcfg, x_len, Tp):
-    """(B,) true frame lengths -> (B, Tp) boolean encoder mask."""
-    t = x_len
-    for layer in mcfg["cnn_config"]["cnn_layers"]:
-        kh, sh, ph = layer["ksize"][0], layer["stride"][0], layer["pad"][0]
-        t = (t + 2 * ph - kh) // sh + 1
+    """(B,) true frame lengths -> (B, Tp) boolean encoder mask.
+
+    Reuses ``ops.cnn.conv_out_len`` (its int arithmetic traces fine on
+    jnp arrays) so the mask length includes EVERY time-reducing stage —
+    an earlier inline copy of the conv arithmetic silently skipped the
+    per-layer max-pool ceil-division, marking ~pool_stride times too
+    many frames valid for legacy pooled configs."""
+    from ast_tpu.ops.cnn import conv_out_len
+    t = conv_out_len(mcfg["cnn_config"], x_len)
     return jnp.arange(Tp)[None, :] < t[:, None]
 
 

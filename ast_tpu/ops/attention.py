@@ -105,16 +105,20 @@ def _blockwise_attend(enc_c, q, enc_mask, block_size):
         acc_new = acc * scale[:, None] + jnp.einsum(
             "bk,bkh->bh", p.astype(e_blk.dtype), e_blk,
             preferred_element_type=jnp.float32)
-        return (m_new, s_new, acc_new), (scores, m_new)
+        return (m_new, s_new, acc_new), scores
 
     m0 = jnp.full((B,), -jnp.inf)
     s0 = jnp.zeros((B,))
     acc0 = jnp.zeros((B, H))
-    (m, s, acc), (all_scores, _) = jax.lax.scan(
+    (m, s, acc), all_scores = jax.lax.scan(
         body, (m0, s0, acc0),
         (jnp.moveaxis(enc_b, 1, 0), jnp.moveaxis(mask_b, 1, 0)))
     cv = acc / s[:, None]
-    # reconstruct alphas for the diagnostics contract
+    # reconstruct alphas for the (B, T) diagnostics contract — alphas
+    # are inherently O(T), so the stacked scores cost nothing beyond
+    # the output itself, and XLA dead-code-eliminates the stack in the
+    # (common) jitted callers that discard alphas; only the context
+    # vector accumulation above is the O(block) streaming part
     scores_full = jnp.moveaxis(all_scores, 0, 1).reshape(B, -1)[:, :T]
     alphas = jnp.exp(scores_full - m[:, None]) / s[:, None]
     return cv.astype(jnp.float32), alphas

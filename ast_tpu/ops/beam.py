@@ -119,9 +119,7 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
 
         # tile to the beam: batch axis becomes B*N (beam-major within utt)
         def tile(x, batch_axis):
-            reps = [1] * x.ndim
-            x = jnp.repeat(x, N, axis=batch_axis)
-            return x
+            return jnp.repeat(x, N, axis=batch_axis)
 
         enc_tiled = tile(enc_states, 0)                  # (B*N, T, H)
         carry = {

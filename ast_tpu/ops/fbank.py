@@ -123,8 +123,11 @@ def num_frames(cfg, n_samples):
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def _mfcc_impl(audio, cfg, n_fr, consts):
-    cos_b, sin_b, win, fb, dct = consts
+def _logmel_impl(audio, cfg, n_fr, consts):
+    """Shared frame/DC/pre-emphasis/window/DFT/mel pipeline (the MFCC
+    chain minus the final DCT) — the single copy both feature types
+    compile from."""
+    cos_b, sin_b, win, fb, _ = consts
     idx = (jnp.arange(n_fr)[:, None] * cfg.shift
            + jnp.arange(cfg.frame_len)[None, :])
     frames = audio[..., idx]                      # (..., F, frame_len)
@@ -138,8 +141,12 @@ def _mfcc_impl(audio, cfg, n_fr, consts):
     im = frames @ sin_b
     power = re * re + im * im
     mel = power @ fb
-    logmel = jnp.log(jnp.maximum(mel, cfg.log_floor))
-    return logmel @ dct                            # (..., F, n_ceps)
+    return jnp.log(jnp.maximum(mel, cfg.log_floor))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _mfcc_impl(audio, cfg, n_fr, consts):
+    return _logmel_impl(audio, cfg, n_fr, consts) @ consts[4]
 
 
 class MfccExtractor:
@@ -163,22 +170,13 @@ class MfccExtractor:
         return _mfcc_impl(audio, self.cfg, n_fr, self.consts)
 
     def logmel(self, audio):
-        """Log-mel filterbank features (skip the DCT)."""
+        """Log-mel filterbank features (the MFCC chain minus the DCT);
+        jitted via the same shared pipeline as ``__call__``."""
         audio = jnp.asarray(audio, jnp.float32)
         n_fr = num_frames(self.cfg, audio.shape[-1])
-        cos_b, sin_b, win, fb, _ = self.consts
-        idx = (jnp.arange(n_fr)[:, None] * self.cfg.shift
-               + jnp.arange(self.cfg.frame_len)[None, :])
-        frames = audio[..., idx]
-        if self.cfg.remove_dc:
-            frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
-        if self.cfg.preemph > 0:
-            prev = jnp.concatenate([frames[..., :1], frames[..., :-1]],
-                                   axis=-1)
-            frames = frames - self.cfg.preemph * prev
-        frames = frames * win
-        power = (frames @ cos_b) ** 2 + (frames @ sin_b) ** 2
-        return jnp.log(jnp.maximum(power @ fb, self.cfg.log_floor))
+        if n_fr == 0:
+            return jnp.zeros(audio.shape[:-1] + (0, self.cfg.n_mels))
+        return _logmel_impl(audio, self.cfg, n_fr, self.consts)
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +199,12 @@ def compute_cmvn_stats(feature_arrays):
         total = s if total is None else total + s
         total_sq = sq if total_sq is None else total_sq + sq
         count += x.shape[0]
+    if not count:
+        # a speaker group whose utterances were all filtered out would
+        # otherwise die on a bare TypeError/ZeroDivisionError in numpy
+        raise ValueError(
+            "compute_cmvn_stats: no frames to accumulate (empty list "
+            "or every array has zero rows)")
     mean = total / count
     var = total_sq / count - mean * mean
     return {

@@ -41,7 +41,7 @@ from ast_tpu.ops.fused_decoder import (
     _COMPILER_PARAMS, _diag_expand, _diag_rows, _dot, _dot_c0, _dot_t,
     round_up,
 )
-from ast_tpu.ops.fused_lstm import aligned_divisors
+from ast_tpu.ops.fused_lstm import _apply_gates, aligned_divisors
 from ast_tpu.symbols import SYMBOLS
 
 VMEM_BUDGET = 40 * 1024 * 1024
@@ -148,12 +148,9 @@ def _lstm_stack(L, H, wx0_ref, wxr_ref, wh_ref, b_ref, embed_ref,
     for l in range(L):
         z = _dot(x, wx0_ref[...]) if l == 0 else _dot(x, wxr_ref[l - 1])
         z = z + _dot(h_s[l], wh_ref[l]) + b_ref[l]
-        i = jax.nn.sigmoid(z[..., :H])
-        f = jax.nn.sigmoid(z[..., H:2 * H])
-        g = jnp.tanh(z[..., 2 * H:3 * H])
-        o = jax.nn.sigmoid(z[..., 3 * H:])
-        c_new = f * c_s[l] + i * g
-        h_new = o * jnp.tanh(c_new)
+        # the one copy of the gate math (unused gate outputs are dead
+        # values the compiler drops)
+        *_, c_new, h_new = _apply_gates(z, c_s[l], H)
         h_s[l] = h_new
         c_s[l] = c_new
         x = h_new
@@ -428,6 +425,7 @@ def _beam_kernel(L, Bc, N, K, H, E, A, T, Vp,
                    ).astype(f32)                          # (N, R)
 
         selC = C
+        taken = jnp.zeros((Bc, NK), f32)
         score_new = jnp.zeros((R, 1), f32)
         tok_new = jnp.zeros((R, 1), f32)
         par_new = jnp.zeros((R, 1), f32)
@@ -436,9 +434,19 @@ def _beam_kernel(L, Bc, N, K, H, E, A, T, Vp,
         GG = jnp.zeros((R, R), f32)
         for j in range(N):
             m = jnp.max(selC, axis=-1, keepdims=True)     # (Bc, 1)
-            amf = jnp.min(jnp.where(selC == m, mlane_f, float(NK)),
+            # distinct-lane guarantee (the lax.top_k contract of
+            # ops/beam.py): a taken lane sits at NEG_INF, which is
+            # bit-identical to dead candidates' scores, so once every
+            # live candidate is exhausted (possible when N > K) it
+            # would re-enter the tie set and be re-selected.
+            # Penalizing taken lanes by +NK makes the lowest UNTAKEN
+            # lane win every tie — selection-sort order over distinct
+            # lanes, exactly top_k's (value desc, index asc).
+            pen = mlane_f + taken * float(NK)             # (Bc, NK)
+            amf = jnp.min(jnp.where(selC == m, pen, float(2 * NK)),
                           axis=-1, keepdims=True)         # (Bc, 1) f32
-            SO = (mlane_f == amf).astype(f32)             # (Bc, NK)
+            SO = (pen == amf).astype(f32)                 # (Bc, NK)
+            taken = taken + SO
             selC = jnp.where(SO > 0, NEG_INF, selC)
             tok_j = jnp.sum(SO * T_C, axis=-1, keepdims=True)
             pfin_j = jnp.sum(SO * F_C, axis=-1, keepdims=True)

@@ -47,13 +47,18 @@ def test_fused_greedy_matches_while_loop(model):
     assert int(n_ref) == int(n_got)
 
 
-def test_fused_beam_matches_while_loop(model):
+@pytest.mark.parametrize("N,K", [(3, 3), (4, 2)])
+def test_fused_beam_matches_while_loop(model, N, K):
     """In-kernel frontier loop == the XLA batched beam (which is itself
-    pinned against the sequential reference in test_beam_oracle)."""
+    pinned against the sequential reference in test_beam_oracle).
+
+    The N > K case pins the distinct-lane selection guarantee: with
+    fewer live candidates than beam slots, the kernel's NEG_INF-reset
+    tie-break used to re-select an already-taken lane where lax.top_k
+    returns distinct indices."""
     from ast_tpu.ops import beam as beam_ops
 
     params, state, X = model
-    N = K = 3
     ref_dec = beam_ops.make_beam_decoder(_mcfg(False), N=N, K=K,
                                          stop_limit=STOP)
     got_dec = beam_ops.make_beam_decoder(_mcfg(True), N=N, K=K,

@@ -87,6 +87,24 @@ def test_enc_mask(model):
     assert int(mask[3].sum()) < 25
 
 
+def test_enc_mask_counts_max_pool(model):
+    """The mask must apply EVERY time-reducing stage, including the
+    legacy per-layer max-pool — the valid length is conv_out_len's, not
+    the conv arithmetic alone."""
+    from ast_tpu.ops.cnn import conv_out_len
+
+    mcfg, _, _ = model
+    pooled = jax.tree.map(lambda x: x, mcfg)
+    pooled["cnn_config"] = {
+        "cnn_layers": [dict(l, max_pool=[2, 2])
+                       for l in mcfg["cnn_config"]["cnn_layers"]]}
+    x_len = jnp.array([100, 50, 25, 10])
+    mask = seq2seq.make_enc_mask(pooled, x_len, 25)
+    want = np.asarray(conv_out_len(pooled["cnn_config"], x_len))
+    np.testing.assert_array_equal(np.asarray(mask.sum(axis=1)),
+                                  np.minimum(want, 25))
+
+
 def test_gradients_flow_everywhere(model):
     mcfg, params, state = model
     X, y = _batch(jax.random.PRNGKey(6))
