@@ -98,8 +98,11 @@ def save_merges(merges, path):
 def load_merges(path):
     merges = []
     with open(path, encoding="utf-8") as f:
-        for line in f:
-            if line.startswith("#"):
+        for i, line in enumerate(f):
+            # only the writer's version header is a comment — a merge
+            # whose first symbol itself starts with '#' (corpus token
+            # like '#yes') must round-trip, so later '#' lines are data
+            if i == 0 and line.startswith("#version:"):
                 continue
             parts = line.rstrip("\n").split(" ")
             if len(parts) == 2:

@@ -110,13 +110,19 @@ class DataLoader:
         dec_key = self.data_cfg["dec_key"]
         max_pred = self.data_cfg["max_pred"]
         mult = self.data_cfg.get("target_pad_multiple", 16)
+        # limit_vocab+add_unk substitutes a single UNK for an all-OOV
+        # (incl. empty) target at assembly time, so the static U must
+        # cover [GO, UNK, EOS] even when the raw token count is 0
+        min_n = 1 if (self.data_cfg.get("limit_vocab", False)
+                      and self.data_cfg.get("add_unk", False)) else 0
         self.target_len = {}
         for set_key in self.buckets:
             num_b = self.buckets[set_key]["num_b"]
             lens = [2] * num_b
             for b, bucket in enumerate(self.buckets[set_key]["buckets"]):
                 for u in bucket:
-                    n = self._n_target_tokens(set_key, u, dec_key)
+                    n = max(self._n_target_tokens(set_key, u, dec_key),
+                            min_n)
                     lens[b] = max(lens[b], min(n + 2, max_pred))
             self.target_len[set_key] = [
                 min(_round_up(l, mult), max_pred) for l in lens
@@ -324,10 +330,17 @@ class DataLoader:
         i2w = self.dec_i2w
         en_hyps = {}
         for utt, p in preds:
-            en_hyps[utt] = []
-            if isinstance(p, (list, tuple)):
-                en_hyps[utt].extend(ids_to_text(
-                    p, lambda i: i2w[i].decode(), dec_key).split())
+            if hasattr(p, "tolist"):          # accept np/jnp id arrays
+                p = p.tolist()
+            if not isinstance(p, (list, tuple)):
+                # an unconvertible pred must not silently become an
+                # empty hypothesis (it reads as a catastrophic BLEU,
+                # not as the type bug it is)
+                raise TypeError(
+                    f"get_hyps: pred for {utt!r} must be a token-id "
+                    f"sequence, got {type(p).__name__}")
+            en_hyps[utt] = ids_to_text(
+                p, lambda i: i2w[i].decode(), dec_key).split()
         return en_hyps
 
 

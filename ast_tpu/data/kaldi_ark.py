@@ -52,7 +52,9 @@ def _read_text_ark_py(path):
             else:
                 if parts[-1] == "]":
                     parts = parts[:-1]
-                    rows.append([float(v) for v in parts])
+                    if parts:      # ']' may sit on its own line —
+                        # Kaldi's reader is whitespace-insensitive
+                        rows.append([float(v) for v in parts])
                     yield utt, np.asarray(rows, dtype=np.float32)
                     utt, rows = None, []
                 else:
@@ -130,24 +132,31 @@ def ark_to_conversation_pickles(ark_path, out_dir):
     os.makedirs(out_dir, exist_ok=True)
     current_conv = None
     seg_data = {}
-    n_files = 0
+    flushed = set()
     for utt, mat in read_text_ark(ark_path):
         conv = utt.rsplit("-", 2)[0]
         if current_conv is not None and conv != current_conv:
-            _dump_conv(out_dir, current_conv, seg_data)
-            n_files += 1
+            _dump_conv(out_dir, current_conv, seg_data, flushed)
             seg_data = {}
         current_conv = conv
         seg_data[utt] = mat
     if seg_data:
-        _dump_conv(out_dir, current_conv, seg_data)
-        n_files += 1
-    return n_files
+        _dump_conv(out_dir, current_conv, seg_data, flushed)
+    return len(flushed)
 
 
-def _dump_conv(out_dir, conv, seg_data):
-    with open(os.path.join(out_dir, conv + ".np"), "wb") as f:
+def _dump_conv(out_dir, conv, seg_data, flushed):
+    path = os.path.join(out_dir, conv + ".np")
+    if conv in flushed:
+        # non-contiguous ark (merged or unsorted copy): merge with the
+        # earlier flush instead of silently overwriting its segments
+        with open(path, "rb") as f:
+            prev = pickle.load(f)
+        prev.update(seg_data)
+        seg_data = prev
+    with open(path, "wb") as f:
         pickle.dump(seg_data, f)
+    flushed.add(conv)
 
 
 def merge_segments(seg_arrays):

@@ -39,16 +39,26 @@ def _read_lines(path):
 
 def create_new_vocab(word_freq):
     """Freq-sorted vocab with specials pinned first (reference:
-    preprocess_gp.py:66-80)."""
+    preprocess_gp.py:66-80).
+
+    Corpus tokens that collide with a special symbol are excluded —
+    re-assigning e.g. b'_UNK' would both break the PAD/GO/EOS/UNK=0..3
+    id contract and make the len()-based counter hand the same id to
+    two tokens.  Ties break by token, the same order as
+    ``vocab.build_vocab``, so the two in-repo builders assign identical
+    ids to identical corpora."""
+    freq = Counter()
+    for w, n in word_freq.items():
+        freq[w.encode() if isinstance(w, str) else w] += n
     out = {"w2i": {}, "i2w": {}, "freq": {}}
     for w in SYMBOLS.START_VOCAB:
         out["w2i"][w] = len(out["w2i"])
         out["freq"][w] = 1
-    for w, freq in sorted(word_freq.items(), reverse=True,
-                          key=lambda t: t[1]):
-        enc = w.encode() if isinstance(w, str) else w
-        out["w2i"][enc] = len(out["w2i"])
-        out["freq"][enc] = freq
+    for w, n in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0])):
+        if w in SYMBOLS.START_VOCAB:
+            continue
+        out["w2i"][w] = len(out["w2i"])
+        out["freq"][w] = n
     out["i2w"] = {v: k for k, v in out["w2i"].items()}
     return out
 
@@ -81,6 +91,14 @@ def prepare_corpus(in_path, out_path, bpe_merges=1000,
              for c in sets}
     ids = {c: _read_lines(os.path.join(in_path, f"{c}.ids"))
            for c in sets}
+    for c in sets:
+        # the files pair line-for-line; a silent zip() over a skewed
+        # pair would train every utterance after the skew on another
+        # utterance's transcript
+        if len(ids[c]) != len(texts[c]):
+            raise ValueError(
+                f"{c}.ids has {len(ids[c])} lines but {c}.clean.text "
+                f"has {len(texts[c])} — they must pair line-for-line")
 
     # learn BPE on the training text only (reference learns with
     # subword-nmt on train: linking_files/get_bpe.sh:13-19)

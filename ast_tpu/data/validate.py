@@ -122,7 +122,15 @@ def _check_vocab(vocab, data_cfg, problems):
 
 
 class _SpeechSource:
-    """Uniform existence/load interface over the configured speech mode."""
+    """Uniform existence/load interface over the configured speech mode.
+
+    This deliberately re-implements the loaders' speech resolution
+    (pack/npy/subdir/wav/sph fallbacks) rather than importing it: the
+    validator doubles as an independent cross-check of the load path.
+    The fork is pinned by test_validate.py::test_fix_repairs_to_green,
+    which feeds the repaired corpus through the REAL dataloader — if
+    resolution rules diverge, that test is where it surfaces.  When
+    adding a new speech source, update both and extend that test."""
 
     def __init__(self, data_cfg):
         self.data_cfg = data_cfg
@@ -495,14 +503,21 @@ def fix_corpus(train_cfg, sets=None, deep=True, backup=True,
 
     map_dict = _load_pickle(data_cfg["map_path"])
     info = _load_pickle(data_cfg["info_path"])
-    speech = _SpeechSource(data_cfg) if check_features else None
+    # an unreadable speech source is itself one of the problems
+    # validate reports (speech_source_unreadable) — the metadata
+    # repairs must still apply, so degrade to no-speech mode instead
+    # of crashing before any fix lands
+    try:
+        speech = _SpeechSource(data_cfg) if check_features else None
+    except Exception:  # noqa: BLE001
+        speech = None
     max_sp = (data_cfg["buckets_num"] + 1) * data_cfg["buckets_width"]
 
     n_dropped, n_repaired = 0, 0
     # repairs only exist when speech checks ran (check_features=True)
     for set_key, utts in repairs.items():
         for u in sorted(utts - drops.get(set_key, set())):
-            loader = speech.resolve(u, set_key)
+            loader = speech.resolve(u, set_key) if speech else None
             if loader is None:
                 drops.setdefault(set_key, set()).add(u)
                 continue

@@ -39,3 +39,13 @@ def test_merges_io(tmp_path):
     p = str(tmp_path / "bpe.codes")
     save_merges(merges, p)
     assert load_merges(p) == merges
+
+
+def test_merges_io_hash_token_roundtrips(tmp_path):
+    """Only the '#version:' header is a comment — a merge whose first
+    symbol starts with '#' (corpus token like '#yes') must survive the
+    save/load roundtrip."""
+    merges = [("#", "y"), ("#y", "es</w>")]
+    p = str(tmp_path / "hash.codes")
+    save_merges(merges, p)
+    assert load_merges(p) == merges

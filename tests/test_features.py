@@ -211,3 +211,32 @@ def test_conversation_pickles(tmp_path, ark_items):
 def test_merge_segments(ark_items):
     merged = kaldi_ark.merge_segments([m for _, m in ark_items[:2]])
     assert merged.shape == (8, 13)
+
+
+def test_text_ark_closing_bracket_on_own_line(tmp_path):
+    """Kaldi's reader is whitespace-insensitive: a final ']' on its own
+    line must parse, not append a ragged empty row."""
+    path = str(tmp_path / "ownline.ark")
+    with open(path, "w") as f:
+        f.write("utt1  [\n  1.0 2.0\n  3.0 4.0\n  ]\n")
+    got = list(kaldi_ark._read_text_ark_py(path))
+    assert len(got) == 1 and got[0][0] == "utt1"
+    np.testing.assert_allclose(got[0][1],
+                               [[1.0, 2.0], [3.0, 4.0]], rtol=1e-6)
+
+
+def test_conversation_pickles_noncontiguous(tmp_path, ark_items):
+    """A conversation whose utterances reappear later in the ark
+    (merged/unsorted copy) must MERGE with its earlier flush, not
+    silently overwrite it."""
+    shuffled = [ark_items[0], ark_items[2], ark_items[1]]  # conv1 split
+    path = str(tmp_path / "shuffled.ark")
+    _write_text_ark(path, shuffled)
+    out = str(tmp_path / "convs")
+    n = kaldi_ark.ark_to_conversation_pickles(path, out)
+    assert n == 2                       # unique conversations, not flushes
+    with open(os.path.join(out, "conv1.np"), "rb") as f:
+        conv1 = pickle.load(f)
+    assert set(conv1.keys()) == {"conv1-A-1", "conv1-A-2"}
+    np.testing.assert_allclose(conv1["conv1-A-1"], ark_items[0][1],
+                               rtol=1e-5)

@@ -90,3 +90,39 @@ def test_limit_vocab_drops_oov(limited_loader):
 def test_limit_vocab_hyps(limited_loader):
     hyps = limited_loader.get_hyps([("u0", [1, 4, 5, 2])])
     assert hyps["u0"] == ["w0", "w1"]
+
+
+def test_add_unk_empty_target_fits_static_len(tmp_path):
+    """An empty (or all-OOV) target under limit_vocab+add_unk becomes
+    [GO, UNK, EOS] at assembly; the per-bucket static U must cover that
+    even with target_pad_multiple=1 (the raw token count is 0)."""
+    flat_w2i = {w: i for i, w in enumerate(SYMBOLS.START_VOCAB)}
+    vocab = {"w2i": flat_w2i,
+             "i2w": {i: w for w, i in flat_w2i.items()}}
+    map_dict = {"train": {"u0": {"en_w": []}}}     # empty target
+    info = {"train": {"u0": {"sp": 10, "en_w": 0}}}
+    data = tmp_path / "d"
+    data.mkdir()
+    for name, obj in [("v", vocab), ("m", map_dict), ("i", info)]:
+        with open(data / name, "wb") as f:
+            pickle.dump(obj, f)
+    md = tmp_path / "model"
+    md.mkdir()
+    cfg = {
+        "enc_key": "sp", "dec_key": "en_w",
+        "speech_path": str(data), "map_path": str(data / "m"),
+        "vocab_path": str(data / "v"), "info_path": str(data / "i"),
+        "max_pred": 8, "buckets_num": 2, "buckets_width": 20,
+        "train_scale": 1, "zero_input": 0, "n_evals": 1,
+        "limit_vocab": True, "add_unk": True,
+        "target_pad_multiple": 1,
+    }
+    dl = FisherDataLoader(cfg, str(md), seed="s")
+    import os
+    os.makedirs(data / "train", exist_ok=True)
+    np.save(data / "train" / "u0.npy", np.zeros((10, 13), np.float32))
+
+    got = None
+    for b in dl.get_batch(1, "train", train=False, labels=True):
+        got = [int(v) for v in b["y"][0] if v != SYMBOLS.PAD_ID]
+    assert got == [SYMBOLS.GO_ID, SYMBOLS.UNK_ID, SYMBOLS.EOS_ID]

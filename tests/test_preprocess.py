@@ -84,3 +84,31 @@ def test_artifacts_drive_dataloader(corpus, tmp_path):
     set_key = "train"
     raw = [w.decode() for w in map_dict[set_key][utt]["en_w"]]
     assert hyps[utt] == raw
+
+
+def test_prepare_corpus_rejects_skewed_ids(corpus):
+    """<set>.ids and <set>.clean.text must pair line-for-line: a skew
+    would silently train every later utterance on another utterance's
+    transcript, so it is an error at corpus-build time."""
+    in_path, out_path = corpus
+    with open(os.path.join(in_path, "train.ids"), "a") as f:
+        f.write("train_extra\n")
+    with pytest.raises(ValueError, match="line-for-line"):
+        prepare_corpus(in_path, out_path, bpe_merges=20,
+                       sets=("train", "dev"))
+
+
+def test_create_new_vocab_special_collision():
+    """A corpus token equal to a special symbol must not steal its id
+    (PAD/GO/EOS/UNK = 0..3 contract) or duplicate ids."""
+    from collections import Counter
+
+    from ast_tpu.data.preprocess import create_new_vocab
+
+    vocab = create_new_vocab(Counter({"_UNK": 7, "cat": 3, "dog": 3}))
+    w2i = vocab["w2i"]
+    assert w2i[SYMBOLS.UNK] == 3                  # contract intact
+    assert len(set(w2i.values())) == len(w2i)     # ids unique
+    assert len(vocab["i2w"]) == len(w2i)
+    # ties break by token (build_vocab order): b'cat' before b'dog'
+    assert w2i[b"cat"] < w2i[b"dog"]
