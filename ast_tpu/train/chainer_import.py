@@ -156,12 +156,11 @@ def chainer_to_ast(arrays):
             if bi:
                 g.append(a[f"L{i}_rev_enc_ln/gamma"])
                 b.append(a[f"L{i}_rev_enc_ln/beta"])
-            if bi:
-                enc_ln.append({"g": np.stack(g).astype(np.float32),
-                               "b": np.stack(b).astype(np.float32)})
-            else:
-                enc_ln.append({"g": g[0].astype(np.float32),
-                               "b": b[0].astype(np.float32)})
+            # ALWAYS stacked: init_model allocates (n_dirs, H) even for
+            # n_dirs=1 and the forward indexes ln['g'][:, None, :] — a
+            # bare (H,) import would crash the first non-bi+ln forward
+            enc_ln.append({"g": np.stack(g).astype(np.float32),
+                           "b": np.stack(b).astype(np.float32)})
 
     # --- optional inter-layer projection (linear_proj) ----------------------
     proj_params, proj_state = [], []
@@ -197,6 +196,13 @@ def chainer_to_ast(arrays):
     }
     if has_ln:
         for i in range(len(dec_layers)):
+            if f"L{i}_dec_ln/gamma" not in a:
+                # this model family ties enc+dec LN to one `ln` flag —
+                # an encoder-only-LN checkpoint has no valid mapping
+                raise ValueError(
+                    "checkpoint has encoder LayerNorm but no "
+                    f"L{i}_dec_ln — enc-only LN is not representable "
+                    "in this model (rnn_config.ln covers both sides)")
             dec_ln.append({"g": a[f"L{i}_dec_ln/gamma"].astype(np.float32),
                            "b": a[f"L{i}_dec_ln/beta"].astype(np.float32)})
 
@@ -262,8 +268,10 @@ def ast_to_chainer(params, state=None):
             out[f"L{i}_rev_enc_ln/gamma"] = n(ln["g"])[1]
             out[f"L{i}_rev_enc_ln/beta"] = n(ln["b"])[1]
         else:
-            out[f"L{i}_enc_ln/gamma"] = n(ln["g"])
-            out[f"L{i}_enc_ln/beta"] = n(ln["b"])
+            # stored (1, H) (init_model's n_dirs axis); Chainer's
+            # L.LayerNormalization serializes 1-D (H,)
+            out[f"L{i}_enc_ln/gamma"] = n(ln["g"])[0]
+            out[f"L{i}_enc_ln/beta"] = n(ln["b"])[0]
     for i, (p, s) in enumerate(zip(params["enc"]["proj"], proj_bn)):
         put_linear(f"enc_proj{i}", p["w"], p["b"])
         g = n(p["bn_gamma"])

@@ -25,6 +25,11 @@ from ast_tpu.train import chainer_import
 def _flatten(tree, prefix=""):
     flat = {}
     if isinstance(tree, dict):
+        if not tree:
+            # an empty dict inside a list (e.g. cnn_bn state with
+            # "bn": false) must leave a marker, or _unflatten's
+            # list materialize hits a missing index key
+            flat[f"{prefix}__emptydict__"] = np.asarray(0)
         for k, v in tree.items():
             flat.update(_flatten(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
@@ -53,12 +58,45 @@ def _unflatten(flat):
             return node
         if "__none__" in node:
             return None
+        if "__emptydict__" in node:
+            return {}
         if "__len__" in node:
             n = int(node["__len__"])
             return [materialize(node[str(i)]) for i in range(n)]
         return {k: materialize(v) for k, v in node.items()}
 
     return materialize(root)
+
+
+def merge_into(template, loaded, what="checkpoint"):
+    """Merge loaded (numpy, possibly list-shaped) leaves into a live
+    pytree TEMPLATE, preserving the template's container types and leaf
+    dtypes.
+
+    NPZ flattening stores optax NamedTuple/tuple states as plain lists,
+    so a structural ``jax.tree.map(template, loaded)`` raises on every
+    optimizer-state restore — matching by leaf ORDER (identical for
+    list/tuple/NamedTuple of the same tree) is the correct equivalence.
+    Leaf count and per-leaf shape are validated so a checkpoint from a
+    different model/optimizer config fails HERE with an attributable
+    error instead of a trace-time crash (or silent broadcasting) later.
+    """
+    t_leaves, treedef = jax.tree.flatten(template)
+    l_leaves = jax.tree.leaves(loaded)
+    if len(t_leaves) != len(l_leaves):
+        raise ValueError(
+            f"{what}: leaf count mismatch (template {len(t_leaves)}, "
+            f"loaded {len(l_leaves)}) — config changed?")
+    merged = []
+    for i, (a, b) in enumerate(zip(t_leaves, l_leaves)):
+        b = jnp.asarray(b, jnp.asarray(a).dtype)
+        if jnp.shape(a) != jnp.shape(b):
+            raise ValueError(
+                f"{what}: leaf {i} shape mismatch (template "
+                f"{jnp.shape(a)}, loaded {jnp.shape(b)}) — config "
+                f"changed?")
+        merged.append(b)
+    return jax.tree.unflatten(treedef, merged)
 
 
 def _savable(x):
@@ -85,7 +123,12 @@ def save_checkpoint(path, params, state=None, opt_state=None, extra=None):
     flat = _flatten(jax.tree.map(_savable, tree))
     if not path.endswith(".npz"):
         path = path + ".npz"
-    np.savez(path, **flat)
+    # atomic: a SIGKILL mid-write must not leave a truncated max-epoch
+    # file that bricks every future auto-resume.  The tmp name keeps
+    # the .npz suffix so np.savez does not append another one.
+    tmp = path[:-len(".npz")] + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path):

@@ -32,7 +32,8 @@ from ast_tpu.ops import beam as beam_ops
 from ast_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 from ast_tpu.symbols import SYMBOLS
 from ast_tpu.train.checkpoint import (
-    checkpoint_path, latest_checkpoint, load_checkpoint, save_checkpoint,
+    checkpoint_path, latest_checkpoint, load_checkpoint, merge_into,
+    save_checkpoint,
 )
 from ast_tpu.train.optimizer import build_optimizer
 from ast_tpu.utils.profiling import StepTimer
@@ -182,6 +183,10 @@ class NN:
         bs = tcfg["batch_size"]
         if isinstance(bs, dict):
             sizes = [int(bs[k]) for k in ("max", "med", "min") if k in bs]
+            if not sizes:
+                raise ValueError(
+                    "batch_size dict must carry at least one of "
+                    f"'max'/'med'/'min' (got keys {sorted(bs)})")
             bs = math.gcd(*sizes) if len(sizes) > 1 else sizes[0]
         self.mesh = mesh if mesh is not None else make_mesh(
             tcfg.get("parallel", {}), batch_size=bs)
@@ -280,20 +285,23 @@ class NN:
         without the cast would hand the donated train dispatch
         f32 moment buffers where the compiled step expects bf16 — a full
         retrace + doubled moment HBM on every bf16-mu resume."""
-        self.params = jax.tree.map(
-            lambda a, b: jnp.asarray(b, a.dtype), self.params,
-            loaded["params"])
+        self.params = merge_into(self.params, loaded["params"], "params")
         if loaded.get("state") is not None:
-            self.state = jax.tree.map(
-                lambda a, b: jnp.asarray(b, a.dtype), self.state,
-                loaded["state"])
+            self.state = merge_into(self.state, loaded["state"], "state")
         if loaded.get("opt") is not None:
             try:
-                self.opt_state = jax.tree.map(
-                    lambda a, b: jnp.asarray(b, a.dtype),
-                    self.opt_state, loaded["opt"])
-            except ValueError:
-                pass  # optimizer config changed; restart moments
+                # leaf-order merge: NPZ stores optax tuples as lists,
+                # so a structural tree.map would ALWAYS raise here and
+                # the except below would silently restart the moments
+                # on every resume (caught by
+                # test_checkpoint::test_optimizer_state_roundtrips)
+                self.opt_state = merge_into(self.opt_state,
+                                            loaded["opt"], "opt")
+            except ValueError as e:
+                # a genuinely different optimizer config: restart
+                # moments, but say so
+                print(f"warning: optimizer state not restored ({e}); "
+                      "restarting moments")
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -613,14 +621,13 @@ class NN:
             return
         import numpy as _np
         path = os.path.join(self.model_dir, "seq2seq_inflight.npz")
-        tmp = path + ".tmp.npz"
-        save_checkpoint(tmp[:-4], self.params, self.state, self.opt_state,
+        # save_checkpoint itself writes tmp-then-rename now
+        save_checkpoint(path, self.params, self.state, self.opt_state,
                         extra={"epoch": _np.int64(epoch),
                                "step": _np.int64(step),
                                # the grouped stream order depends on G;
                                # resume validates it matches
                                "g": _np.int64(self.steps_per_dispatch)})
-        os.replace(tmp, path)
 
     def eval_loss(self, set_key):
         """Teacher-forced loss on a split without updating anything —
@@ -650,6 +657,10 @@ class NN:
         losses, sizes = [], []
         gen = self.data_loader.get_batch(
             self.cfg.train["batch_size"], set_key, train=False, labels=True,
+            # multi-host SPMD: every host must assemble the identical
+            # stream (same reasoning as predict's pinned epoch) — the
+            # stateful py_rng would otherwise let hosts diverge
+            epoch=0 if jax.process_count() > 1 else None,
             tail_shrink=self.tail_shrink)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, True))
         for batch in prefetch:
@@ -719,6 +730,9 @@ class NN:
         results = {}
         gen = self.data_loader.get_batch(
             batch_size, set_key, train=False, labels=False,
+            # multi-host SPMD: identical streams on every host (see
+            # predict) — test_multihost_mp pins identical beam content
+            epoch=0 if jax.process_count() > 1 else None,
             tail_shrink=self.tail_shrink)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
         decode = beam_ops.make_beam_decoder(

@@ -120,3 +120,62 @@ def test_average_checkpoints_and_explicit_ckpt(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         cp_cli.main(["--src", exp, "--average", "last:0"])
+
+
+def test_optimizer_state_roundtrips(tmp_path):
+    """REAL optax opt state (NamedTuple/tuple containers) must survive
+    save -> load -> merge_into bit-exact, with the template's container
+    types restored.  NPZ flattening stores tuples as lists, so the
+    merge must match by leaf order, not container type — a structural
+    tree.map here silently restarted Adam's moments on every resume."""
+    from ast_tpu.train.checkpoint import merge_into
+    from ast_tpu.train.optimizer import build_optimizer
+
+    mcfg, params, state = _model()
+    tx, opt_state = build_optimizer(
+        {"optimizer": "adam", "lr": 1e-3}, params)
+    # advance one step so the moments are non-trivial
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+
+    p = str(tmp_path / "ckpt")
+    save_checkpoint(p, params, state, opt_state)
+    loaded = load_checkpoint(p)
+    merged = merge_into(opt_state, loaded["opt"], "opt")
+    assert jax.tree.structure(merged) == jax.tree.structure(opt_state)
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(merged)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a structurally different optimizer state must still raise (the
+    # trainer catches it and restarts moments, loudly)
+    tx2, opt2 = build_optimizer(
+        {"optimizer": "adam", "lr": 1e-3, "amsgrad": True}, params)
+    if len(jax.tree.leaves(opt2)) != len(jax.tree.leaves(opt_state)):
+        with pytest.raises(ValueError, match="leaf count"):
+            merge_into(opt2, loaded["opt"], "opt")
+
+
+def test_empty_dict_state_roundtrips(tmp_path):
+    """A bn:false model's state list contains {} entries — the flat-NPZ
+    schema must mark them or the checkpoint is unloadable."""
+    from ast_tpu.train.checkpoint import _flatten, _unflatten
+
+    tree = {"state": {"cnn_bn": [{}, {"bn_mean": np.ones(3)}]}}
+    out = _unflatten(_flatten(tree))
+    assert out["state"]["cnn_bn"][0] == {}
+    np.testing.assert_array_equal(out["state"]["cnn_bn"][1]["bn_mean"],
+                                  np.ones(3))
+
+    # and end-to-end through save/load
+    mcfg, params, state = _model()
+    p = str(tmp_path / "bnless")
+    save_checkpoint(p, params, {"cnn_bn": [{}, {}]})
+    loaded = load_checkpoint(p)
+    assert loaded["state"]["cnn_bn"] == [{}, {}]
+
+
+def test_merge_into_rejects_shape_mismatch():
+    from ast_tpu.train.checkpoint import merge_into
+
+    with pytest.raises(ValueError, match="shape mismatch"):
+        merge_into({"w": np.zeros((2, 3))}, {"w": np.zeros((3, 2))})

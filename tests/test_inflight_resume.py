@@ -70,6 +70,18 @@ def test_kill_and_resume_consumes_exact_suffix(tmp_path):
     np.testing.assert_array_equal(np.asarray(nn2.params["dec"]["out_w"]),
                                   np.asarray(nn1.params["dec"]["out_w"]))
 
+    # the optimizer state came from the snapshot too: Adam's moments
+    # and bias-correction count CONTINUE rather than restart (the
+    # flat-NPZ list vs optax-tuple structure mismatch used to silently
+    # zero them on every resume)
+    import jax as _jax
+    nn1_leaves = _jax.tree.leaves(nn1.opt_state)
+    nn2_leaves = _jax.tree.leaves(nn2.opt_state)
+    assert len(nn1_leaves) == len(nn2_leaves)
+    assert any(np.any(np.asarray(a) != 0) for a in nn2_leaves)
+    for a, b in zip(nn1_leaves, nn2_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     second = []
     _crash_after(nn2, 10**9, second)
     loss = nn2.train_epoch("tiny_train", epoch=1)
