@@ -94,6 +94,17 @@ def main(argv=None):
                              "of the latest epoch (e.g. a copy_params "
                              "--average artifact)")
     args = parser.parse_args(argv)
+    beam_nk = None
+    if args.beam is not None:
+        # validate BEFORE the model loads (same contract as
+        # export_model): a bad spec should be a parser error, not a
+        # tuple-unpacking traceback minutes in
+        try:
+            beam_nk = tuple(int(v) for v in args.beam.split(","))
+            if len(beam_nk) != 2:
+                raise ValueError
+        except ValueError:
+            parser.error(f"--beam expects N,K (got {args.beam!r})")
 
     nn = NN(args.cfg_path, ckpt=args.ckpt)
     if nn.loaded_ckpt is None:
@@ -141,9 +152,9 @@ def main(argv=None):
         T = max(width_b, -(-x.shape[0] // width_b) * width_b)
         groups.setdefault(T, []).append((utt, x))
 
-    use_beam = args.beam is not None
+    use_beam = beam_nk is not None
     if use_beam:
-        N, K = (int(v) for v in args.beam.split(","))
+        N, K = beam_nk
         decode = beam_ops.make_beam_decoder(
             nn.mcfg, N=N, K=K, stop_limit=stop_limit,
             compute_dtype=nn.compute_dtype)

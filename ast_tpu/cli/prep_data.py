@@ -82,6 +82,13 @@ def cmd_merge_segments(args):
     for conv in sorted(by_conv):
         data = load_conv(conv)
         for utt, segs in by_conv[conv]:
+            if not segs:
+                # same skip path as missing segments — concatenating
+                # zero arrays would abort the whole run mid-way
+                print(f"warning: skipping {utt}: empty segment list",
+                      file=sys.stderr)
+                n_skipped += 1
+                continue
             missing = [s for s in segs if s not in data]
             if missing:
                 print(f"warning: skipping {utt}: missing segments "
@@ -92,11 +99,11 @@ def cmd_merge_segments(args):
                     merge_segments([data[s] for s in segs]))
             n += 1
     print(f"wrote {n} utterance feature files to {args.out_dir}"
-          + (f" ({n_skipped} skipped: missing segments)" if n_skipped
-             else ""))
+          + (f" ({n_skipped} skipped: missing/empty segments)"
+             if n_skipped else ""))
     if n_skipped and not args.allow_missing:
-        sys.exit(f"error: {n_skipped} utterances had missing segments "
-                 "(pass --allow-missing to proceed anyway)")
+        sys.exit(f"error: {n_skipped} utterances had missing or empty "
+                 "segments (pass --allow-missing to proceed anyway)")
 
 
 def cmd_mfcc(args):
@@ -111,7 +118,14 @@ def cmd_mfcc(args):
     for fname in sorted(os.listdir(args.audio_dir)):
         path = os.path.join(args.audio_dir, fname)
         if fname.endswith(".wav"):
-            audio = read_wav(path)
+            audio, rate = read_wav(path, with_rate=True)
+            if rate != ext.cfg.sample_rate:
+                # silently framing 16 kHz audio with 8 kHz geometry
+                # corrupts every feature file (wrong time scale + mel
+                # warp); infer.py rejects this for the same reason
+                sys.exit(f"error: {fname} is {rate} Hz but the "
+                         f"extractor expects {ext.cfg.sample_rate} Hz "
+                         "— resample the audio first")
         elif fname.endswith(".npy"):
             audio = np.load(path).astype(np.float32).reshape(-1)
         else:

@@ -259,11 +259,19 @@ class ArtifactServer:
     """Loads a serving dir; decodes single utterances."""
 
     def __init__(self, serving_dir, default_w=0.6, batch_window_ms=0.0,
-                 replicas=1, warmup=False):
+                 replicas=1, warmup=False, inflight=2):
         self.dir = serving_dir
         self.default_w = default_w
         with open(os.path.join(serving_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
+        if "vocab" not in self.manifest:
+            # write_manifest's i2w is optional, but serving needs it to
+            # detokenize — fail with the cause, not a KeyError
+            raise ValueError(
+                f"{serving_dir}/manifest.json has no 'vocab' entry — "
+                "re-export with export_model (or pass i2w to "
+                "write_manifest); the server cannot detokenize without "
+                "it")
         with open(os.path.join(serving_dir, self.manifest["vocab"])) as f:
             self.vocab = json.load(f)
         self.entries = {"greedy": [], "beam": []}
@@ -289,18 +297,25 @@ class ArtifactServer:
         self.stats = _Stats()
         # replica pool: each device call checks a device out of the
         # queue and commits its input there (an Exported call follows
-        # the committed placement), so up to len(devices) calls run
-        # concurrently — one per chip.  replicas=1 keeps the old
-        # one-call-at-a-time behavior on the default device.
+        # the committed placement).  The queue holds ``inflight`` tokens
+        # per device (a counting semaphore): a caller checks a token
+        # out, holds it through block_until_ready, and returns it —
+        # bounding each chip to ``inflight`` queued batches (no
+        # unbounded HBM growth under a request flood) while still
+        # overlapping one batch's host->device transfer with the
+        # previous batch's compute.
         local = jax.local_devices()
         n = len(local) if replicas <= 0 else min(replicas, len(local))
         self.devices = local[: max(1, n)]
+        self.inflight = max(1, int(inflight))
         self._free = queue.Queue()
-        for d in self.devices:
-            self._free.put(d)
+        for _ in range(self.inflight):
+            for d in self.devices:
+                self._free.put(d)
         self.batcher = (_MicroBatcher(self._call_rows,
                                       batch_window_ms / 1000.0,
-                                      workers=len(self.devices))
+                                      workers=(len(self.devices)
+                                               * self.inflight))
                         if batch_window_ms > 0 else None)
         # --warmup: compile every artifact on every replica before
         # traffic; /healthz gates on `ready` until done
@@ -343,12 +358,23 @@ class ArtifactServer:
             return x
         if "audio" in body:
             from ast_tpu.ops.fbank import (MfccExtractor, apply_cmvn,
-                                           compute_cmvn_stats)
+                                           compute_cmvn_stats, num_frames)
             if self._mfcc is None:
                 self._mfcc = MfccExtractor()
-            feats = np.asarray(
-                self._mfcc(np.asarray(body["audio"], np.float32)),
-                np.float32)
+            audio = np.asarray(body["audio"], np.float32).reshape(-1)
+            # pad to 1-second buckets so XLA compiles a handful of MFCC
+            # shapes, not one program per distinct request length (each
+            # first-seen length would stall its request for a compile
+            # and grow the jit cache without bound); slice back to the
+            # true frame count (same scheme as prep_data mfcc)
+            bucket = self._mfcc.cfg.sample_rate
+            true_frames = num_frames(self._mfcc.cfg, len(audio))
+            padded = max(1, int(-(-len(audio) // bucket))) * bucket
+            audio = np.pad(audio, (0, padded - len(audio)))
+            feats = np.asarray(self._mfcc(audio),
+                               np.float32)[:true_frames]
+            if true_frames == 0:
+                raise ValueError("audio shorter than one MFCC frame")
             return np.asarray(apply_cmvn(feats,
                                          compute_cmvn_stats([feats])),
                               np.float32)
@@ -366,8 +392,13 @@ class ArtifactServer:
             X[i, : min(T, x.shape[0])] = x[:T]
         dev = self._free.get()              # block until a replica frees
         try:
-            out = self.artifacts[entry["file"]].call(
-                jax.device_put(X, dev))
+            # block until the COMPUTATION finishes before releasing the
+            # replica: jit dispatch is async, so returning the device at
+            # dispatch time would let unbounded batches queue on one
+            # chip (no backpressure) and falsify the one-call-per-chip
+            # pool contract
+            out = jax.block_until_ready(
+                self.artifacts[entry["file"]].call(jax.device_put(X, dev)))
         finally:
             self._free.put(dev)
         self.stats.record_call(len(xs), B)
@@ -522,12 +553,14 @@ class _Server(ThreadingHTTPServer):
 
 
 def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
-                batch_window_ms=0.0, replicas=1, warmup=False):
+                batch_window_ms=0.0, replicas=1, warmup=False,
+                inflight=2):
     """Build (ThreadingHTTPServer, ArtifactServer); caller runs
     ``serve_forever`` (the CLI) or a thread (tests)."""
     state = ArtifactServer(serving_dir, default_w=default_w,
                            batch_window_ms=batch_window_ms,
-                           replicas=replicas, warmup=warmup)
+                           replicas=replicas, warmup=warmup,
+                           inflight=inflight)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):              # quiet by default
@@ -660,13 +693,19 @@ def main(argv=None):
                         help="compile every artifact on every replica "
                              "at startup in the background; /healthz "
                              "reports ready=false until done")
+    parser.add_argument("--inflight-per-replica", type=int, default=2,
+                        dest="inflight",
+                        help="max batches queued per device (bounded "
+                             "backpressure; 2 overlaps transfer with "
+                             "compute, 1 = strict one-call-per-chip)")
     args = parser.parse_args(argv)
 
     httpd, state = make_server(args.serving_dir, args.port, args.host,
                                default_w=args.W,
                                batch_window_ms=args.batch_window_ms,
                                replicas=args.replicas,
-                               warmup=args.warmup)
+                               warmup=args.warmup,
+                               inflight=args.inflight)
     kinds = {k: len(v) for k, v in state.entries.items() if v}
     batching = (f", micro-batch window {args.batch_window_ms:g} ms"
                 if state.batcher else "")

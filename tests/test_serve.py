@@ -258,7 +258,9 @@ def test_serve_micro_batching_with_replica_workers(tmp_path):
 
     httpd, state = serve.make_server(out, port=0, batch_window_ms=2000,
                                      replicas=2)
-    assert len(state.batcher._threads) == 2
+    # one dispatcher per device-inflight token (2 devices x default
+    # inflight 2): that many groups can be on-device at once
+    assert len(state.batcher._threads) == 2 * state.inflight
 
     speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
     files = sorted(os.listdir(speech))[:4]
@@ -692,5 +694,62 @@ def test_serve_decode_batch(tmp_path):
         # an empty batch is the requester's fault
         status, err = _post(base + "/decode_batch", {"batch": []})
         assert status == 400 and "non-empty" in err["error"]
+    finally:
+        httpd.shutdown()
+
+
+def test_serve_inflight_bounds_device_queue(tmp_path):
+    """The replica pool is a counting semaphore: at most
+    inflight-per-replica artifact calls may be in flight on one device
+    at a time (bounded HBM under a request flood), enforced by holding
+    the token through completion — not released at async dispatch."""
+    import time as _time
+    import types
+
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--platforms", "cpu", "--dtype", "float32"])
+
+    httpd, state = serve.make_server(out, port=0, replicas=1, inflight=2)
+    concurrent = [0]
+    peak = [0]
+    lock = threading.Lock()
+    for name, art in list(state.artifacts.items()):
+        def wrapped(X, _o=art.call):
+            with lock:
+                concurrent[0] += 1
+                peak[0] = max(peak[0], concurrent[0])
+            _time.sleep(0.05)        # hold the call open
+            try:
+                return _o(X)
+            finally:
+                with lock:
+                    concurrent[0] -= 1
+        state.artifacts[name] = types.SimpleNamespace(call=wrapped)
+
+    speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+    f = sorted(os.listdir(speech))[0]
+    x = np.load(os.path.join(speech, f))[:60]
+
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        results = [None] * 6
+
+        def hit(i):
+            results[i] = _post(base + "/decode",
+                               {"features": x.tolist(),
+                                "mode": "greedy"})
+
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert all(r is not None and r[0] == 200 for r in results)
+        assert peak[0] <= 2, f"inflight bound violated: peak {peak[0]}"
+        assert peak[0] == 2, "no overlap at all — semaphore too strict"
     finally:
         httpd.shutdown()
