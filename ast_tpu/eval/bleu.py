@@ -92,6 +92,18 @@ def corpus_bleu(list_of_references, hypotheses,
     return score
 
 
+def _read_ref_files(path, n_evals):
+    """``ref.en0..N-1`` as N lists of raw lines (newline stripped) —
+    the one reader both the BLEU protocol and the METEOR exporter use
+    (byte content preserved for the exporter's byte-exact layout)."""
+    refs = []
+    for i in range(n_evals):
+        with open(os.path.join(path, f"ref.en{i}"), "r",
+                  encoding="utf-8") as f:
+            refs.append([line.rstrip("\n") for line in f])
+    return refs
+
+
 def export_meteor_refs(refs_dir, n_evals, out_path=None):
     """Write the METEOR multi-reference file from ``ref.en0..N-1``.
 
@@ -101,11 +113,7 @@ def export_meteor_refs(refs_dir, n_evals, out_path=None):
     N consecutive lines — the layout ``meteor -r N`` expects.  Returns
     the output path.
     """
-    refs = []
-    for i in range(n_evals):
-        with open(os.path.join(refs_dir, f"ref.en{i}"), "r",
-                  encoding="utf-8") as f:
-            refs.append([line.rstrip("\n") for line in f])
+    refs = _read_ref_files(refs_dir, n_evals)
     if len({len(r) for r in refs}) != 1:
         raise ValueError(
             f"ref.en0..{n_evals - 1} in {refs_dir} disagree on line count")
@@ -125,11 +133,8 @@ class Eval:
         with open(os.path.join(path, "eval.ids"), "r", encoding="utf-8") as f:
             self.ids = [line.strip() for line in f]
 
-        refs = []
-        for i in range(n_evals):
-            with open(os.path.join(path, f"ref.en{i}"), "r",
-                      encoding="utf-8") as f:
-                refs.append([line.strip().split() for line in f])
+        refs = [[line.split() for line in r]
+                for r in _read_ref_files(path, n_evals)]
         self.refs = list(zip(*refs))
 
     def calc_bleu(self, hyps):

@@ -454,7 +454,10 @@ def decode_step(params, mcfg, enc_states, carry, token, key, train,
     rnn = mcfg["rnn_config"]
     drop = mcfg["dropout"]
     hidden = rnn["hidden_units"]
-    k_emb, k_rnn = jax.random.split(key)
+    # three independent streams: reusing `key` after a split would make
+    # the logits-dropout mask deterministically related to the
+    # embed/rnn masks (JAX key-hygiene rule)
+    k_emb, k_rnn, k_out = jax.random.split(key, 3)
 
     emb = params["dec"]["embed"][token]  # (B, E)
     emb = dropout(k_emb, emb, drop["embed"], train)
@@ -487,7 +490,7 @@ def decode_step(params, mcfg, enc_states, carry, token, key, train,
                      preferred_element_type=jnp.float32) \
         + params["dec"]["out_b"]
     # out-dropout on logits, as the reference applies it (seq2seq.py:394)
-    logits = dropout(key, logits, drop["out"], train)
+    logits = dropout(k_out, logits, drop["out"], train)
     new_carry = {"h": jnp.stack(new_h), "c": jnp.stack(new_c), "ht": ht}
     return logits, new_carry, alphas
 
@@ -687,7 +690,11 @@ def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
         len(dec["lstm"]), B_loc, rnn["hidden_units"],
         rnn["embedding_units"], rnn["attn_units"],
         enc_states.shape[1], Vp, wb)
-    if chunk <= 0 or B_loc % chunk:
+    # fused_decoder_chunk only ever returns 0 or a divisor of B_loc
+    # (aligned_divisors); a non-divisor would silently run the whole
+    # local batch in one kernel call past the VMEM budget
+    assert chunk == 0 or B_loc % chunk == 0, (chunk, B_loc)
+    if chunk <= 0:
         chunk = B_loc  # interpret-mode tests bypass the alignment gate
 
     drop_e = float(mcfg["dropout"]["embed"]) if train else 0.0
@@ -872,7 +879,6 @@ def make_enc_mask(mcfg, x_len, Tp):
     an earlier inline copy of the conv arithmetic silently skipped the
     per-layer max-pool ceil-division, marking ~pool_stride times too
     many frames valid for legacy pooled configs."""
-    from ast_tpu.ops.cnn import conv_out_len
     t = conv_out_len(mcfg["cnn_config"], x_len)
     return jnp.arange(Tp)[None, :] < t[:, None]
 

@@ -50,6 +50,10 @@ ArkResult* ark_parse_text(const char* path) {
   long long cur_rows = 0;
   int cols = 0, cur_cols = 0;
   bool counting_cols = true;
+  // structural state: a token OUTSIDE '[...]' is always an utterance
+  // id — a digits-only id (e.g. "123") must not be consumed as a float
+  // datum, which would silently fold the id into the feature data
+  bool in_matrix = false;
 
   char* p = buf;
   char* end = buf + size;
@@ -60,6 +64,7 @@ ArkResult* ark_parse_text(const char* path) {
     if (p >= end) break;
 
     if (*p == '[') {
+      in_matrix = true;
       p++;
       continue;
     }
@@ -72,15 +77,15 @@ ArkResult* ark_parse_text(const char* path) {
       }
       rows.push_back(cur_rows);
       cur_rows = 0;
+      in_matrix = false;
       p++;
       continue;
     }
 
-    // number or utterance id token
     char* tok_end;
-    float v = strtof(p, &tok_end);
+    float v = in_matrix ? strtof(p, &tok_end) : 0.0f;
     bool is_number =
-        tok_end != p &&
+        in_matrix && tok_end != p &&
         (*tok_end == ' ' || *tok_end == '\n' || *tok_end == '\r' ||
          *tok_end == '\t' || *tok_end == ']' || tok_end == end);
     if (is_number) {
@@ -96,7 +101,9 @@ ArkResult* ark_parse_text(const char* path) {
       }
       p = tok_end;
     } else {
-      // utterance id token runs to whitespace
+      // utterance id token runs to whitespace (a non-numeric token
+      // inside a matrix also lands here; the Python-side consistency
+      // checks then reject the parse and fall back)
       char* q = p;
       while (q < end && *q != ' ' && *q != '\n' && *q != '\t' && *q != '\r')
         q++;

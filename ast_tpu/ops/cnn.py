@@ -209,7 +209,10 @@ def conv_frontend(params, state, cnn_config, X, train,
 def conv_out_len(cnn_config, t):
     """Output time length for input length ``t`` under the conv stack."""
     for layer in cnn_config["cnn_layers"]:
-        kh = layer["ksize"][0]
+        # dilation widens the effective kernel: (kh-1)*dil + 1 — the
+        # length arithmetic must match conv_general_dilated's
+        # rhs_dilation or masks/bucket shapes drift past true content
+        kh = (layer["ksize"][0] - 1) * layer.get("dilate", 1) + 1
         sh = layer["stride"][0]
         ph = layer["pad"][0]
         t = (t + 2 * ph - kh) // sh + 1

@@ -67,15 +67,14 @@ def shard_batch(batch, mesh, axis=0):
         lambda v: jax.device_put(v, batch_spec(mesh, v, axis)), batch)
 
 
-def _param_pspec(path, leaf, model_parallel):
-    """PartitionSpec for one parameter leaf."""
+def _param_pspec(path_str, leaf, model_parallel):
+    """PartitionSpec for one parameter leaf (path as 'a/b/c')."""
     if model_parallel:
-        joined = "/".join(str(p) for p in path)
-        if joined.endswith("dec/out_w"):
+        if path_str.endswith("dec/out_w"):
             return P(None, "model")
-        if joined.endswith("dec/out_b"):
+        if path_str.endswith("dec/out_b"):
             return P("model")
-        if joined.endswith("dec/embed"):
+        if path_str.endswith("dec/embed"):
             return P("model", None)
     return P()
 
@@ -98,7 +97,7 @@ def param_spec(params, mesh):
 
     def spec(path, leaf):
         return NamedSharding(
-            mesh, _param_pspec((_path_str(path),), leaf, model_parallel))
+            mesh, _param_pspec(_path_str(path), leaf, model_parallel))
 
     return jax.tree_util.tree_map_with_path(spec, params)
 

@@ -240,3 +240,24 @@ def test_conversation_pickles_noncontiguous(tmp_path, ark_items):
     assert set(conv1.keys()) == {"conv1-A-1", "conv1-A-2"}
     np.testing.assert_allclose(conv1["conv1-A-1"], ark_items[0][1],
                                rtol=1e-5)
+
+
+def test_native_parser_digits_only_utt_id(tmp_path):
+    """A digits-only utterance id must stay an id — the single-pass C
+    parser used to consume it as a float datum, silently folding the id
+    into the feature data for single-row single-utterance arks."""
+    from ast_tpu import native
+
+    items = [("123", np.asarray([[5.0, 6.0]], np.float32)),
+             ("457", np.asarray([[1.0, 2.0], [3.0, 4.0]], np.float32))]
+    path = str(tmp_path / "digits.ark")
+    _write_text_ark(path, items)
+    got = list(kaldi_ark.read_text_ark(path))
+    assert [u for u, _ in got] == ["123", "457"]
+    for (u1, m1), (u2, m2) in zip(got, items):
+        np.testing.assert_allclose(m1, m2, rtol=1e-6)
+    # the native fast path itself (not the Python fallback) must agree
+    if native.fast_text_ark is not None:    # skip only if no toolchain
+        fast = list(native.fast_text_ark(path))
+        assert [u for u, _ in fast] == ["123", "457"]
+        np.testing.assert_allclose(fast[0][1], items[0][1], rtol=1e-6)
