@@ -700,6 +700,9 @@ def main(argv=None):
                              "compute, 1 = strict one-call-per-chip)")
     args = parser.parse_args(argv)
 
+    from ast_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(False)  # opt-in via env AST_TPU_COMPILE_CACHE
+
     httpd, state = make_server(args.serving_dir, args.port, args.host,
                                default_w=args.W,
                                batch_window_ms=args.batch_window_ms,

@@ -63,6 +63,15 @@ _EXTRAS_DEFAULTS = {
     # ~1 extra forward of FLOPs buys not holding activations in HBM —
     # for long-utterance / very large-batch configs
     "remat": False,
+    # persistent XLA compilation cache: False (default), True
+    # (~/.cache/ast_tpu/xla), or an explicit directory.  On hosts where
+    # XLA compiles in-process, re-runs/resumes/decode passes reload
+    # compiled executables instead of paying the 20-60 s per-bucket-shape
+    # TPU compile again.  Opt-in because remote-compilation PJRT plugins
+    # rebuild server-side at first execution — measured 3x SLOWER warm
+    # than cold on this image's tunneled TPU (see
+    # utils/compile_cache.py).  Env AST_TPU_COMPILE_CACHE wins.
+    "compile_cache": False,
     # decode dispatches kept in flight during predict/decode_beam_set:
     # materializing a batch blocks until it finishes, so depth 1 parks
     # the device through the host's hyp postprocess; depth 2 overlaps

@@ -148,6 +148,9 @@ class NN:
         self.mcfg = self.cfg.model
         tcfg = self.cfg.train
 
+        from ast_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(tcfg["extras"].get("compile_cache", False))
+
         self.seed = _seed_to_int(tcfg["seed"])
         self.rng = jax.random.PRNGKey(self.seed)
 
