@@ -91,6 +91,12 @@ _DATA_DEFAULTS = {
     # quantization step for decoder-length padding (static shapes for XLA);
     # not present in the reference (it pads to the ragged batch max).
     "target_pad_multiple": 16,
+    # in-graph SpecAugment (arXiv:1904.08779), beyond-reference: a dict
+    # {"freq_masks", "freq_width", "time_masks", "time_width", "time_p"}
+    # enables time/frequency masking inside the jitted train step (zero
+    # host cost, deterministic per (epoch_key, batch)); None disables.
+    # The reference's zero_input frame dropout is independent of this.
+    "spec_augment": None,
 }
 
 _OPT_DEFAULTS = {

@@ -319,6 +319,12 @@ class NN:
 
         featurize = self._featurize if self.wav_mode else None
 
+        # data.spec_augment: in-graph time/freq masking on the feature
+        # block, train-path only (eval_loss/predict build their own
+        # steps).  Statically gated: when absent, the step and its key
+        # stream are bit-identical to a build without the feature.
+        sa_cfg = tcfg["data"].get("spec_augment") or None
+
         # extras.remat: rematerialize the forward pass in the backward
         # (jax.checkpoint) — trades ~1 extra forward of FLOPs for not
         # holding encoder/decoder activations across the whole loss,
@@ -329,6 +335,10 @@ class NN:
         def step(params, state, opt_state, X, y, n_real, key):
             if featurize is not None:
                 X = featurize(X)
+            if sa_cfg is not None:
+                from ast_tpu.ops.specaugment import spec_augment
+                key, sa_key = jax.random.split(key)
+                X = spec_augment(sa_key, X, sa_cfg)
 
             def loss_fn(p):
                 return seq2seq.forward_loss(
