@@ -510,8 +510,16 @@ def init_decoder_carry(mcfg, dec_h0, dec_c0):
 
 def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
                  teach_ratio=1.0, random_out=0.0, add_noise=0.0,
-                 compute_dtype=jnp.float32, enc_mask=None, mesh=None):
+                 compute_dtype=jnp.float32, enc_mask=None, mesh=None,
+                 label_smoothing=0.0):
     """Teacher-forced (scheduled-sampling) sequence loss.
+
+    ``label_smoothing`` (beyond-reference, ``extras.label_smoothing``):
+    train-time uniform label smoothing over the real vocabulary —
+    per-token loss becomes (1-eps)*NLL(target) + eps*mean_v(-log p_v),
+    a static mix of the same log-softmax (no extra matmul, identical
+    fused-kernel path).  0.0 (the default and the reference's behavior)
+    is the exact teacher-forced CE; eval passes never smooth.
 
     X: (B, T, D) speech; y: (B, U) int32 targets incl. GO/EOS, PAD-padded.
     Returns (loss, new_state).  Loss = sum over steps of
@@ -534,7 +542,8 @@ def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
                           enc_mask, mesh):
         loss = _fused_decoder_loss(
             params, mcfg, enc_states, dec_h0, dec_c0, y, key, train,
-            n_real, teach_ratio, random_out, compute_dtype, mesh)
+            n_real, teach_ratio, random_out, compute_dtype, mesh,
+            label_smoothing)
         return loss, new_state
 
     carry0 = init_decoder_carry(mcfg, dec_h0, dec_c0)
@@ -575,6 +584,9 @@ def forward_loss(params, state, mcfg, X, y, key, train=True, n_real=None,
 
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, target[:, None], axis=-1)[:, 0]
+        if train and label_smoothing > 0:
+            eps = label_smoothing
+            nll = (1.0 - eps) * nll + eps * -jnp.mean(logp, axis=-1)
         pad_w = (target != SYMBOLS.PAD_ID).astype(jnp.float32)
         step_loss = jnp.sum(nll * pad_w) / n_real
         return (carry, pred), step_loss
@@ -647,7 +659,7 @@ def _use_fused_decoder(mcfg, params, enc_states, y, compute_dtype,
 
 def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
                         train, n_real, teach_ratio, random_out,
-                        compute_dtype, mesh=None):
+                        compute_dtype, mesh=None, label_smoothing=0.0):
     """Decoder loss via the fused Pallas kernel (see ops/fused_decoder):
     the kernel streams attentional hidden states; loss logits are one
     large matmul here.  Under a mesh the kernel runs per-device via
@@ -754,6 +766,11 @@ def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
 
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    if train and label_smoothing > 0:
+        # smooth over the REAL vocab columns only: the Vp padding rows
+        # carry -1e9 biases whose -logp would dominate the mean
+        eps = label_smoothing
+        nll = (1.0 - eps) * nll + eps * -jnp.mean(logp[..., :V], axis=-1)
     pad_w = (target != SYMBOLS.PAD_ID).astype(jnp.float32)
     return jnp.sum(nll * pad_w) / jnp.asarray(n_real, jnp.float32)
 
