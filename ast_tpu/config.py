@@ -49,6 +49,9 @@ _EXTRAS_DEFAULTS = {
     "weight_noise_sigma": 0.0,
     # numerics: "float32" | "bfloat16" compute for matmul-heavy ops
     "compute_dtype": "float32",
+    # label smoothing epsilon for the train-path cross entropy
+    # (models/seq2seq.py forward_loss); 0.0 = exact reference loss
+    "label_smoothing": 0.0,
     # >1: fuse that many consecutive same-bucket train batches into ONE
     # jitted dispatch (lax.scan over steps) — identical math to single
     # steps, amortizes per-dispatch host overhead; the dataloader groups

@@ -250,8 +250,15 @@ class DataLoader:
             B = b_size if pad_batch else len(utts)
             if pad_batch and tail_shrink > 0 and len(utts) < b_size:
                 B = self.tail_rows(len(utts), b_size, tail_shrink)
+            # true per-row real frame counts (dummy rows 0) — consumed by
+            # in-graph SpecAugment so time masks place within the REAL
+            # extent even when zero_input dropout zeroes the final frame
+            # (a last-nonzero heuristic would undercount) and in wav mode
+            # (where it couldn't be inferred from features at all)
+            frame_len = np.zeros((B,), dtype=np.int32)
             if _skip_speech:
                 # raw-audio loaders assemble their own speech tensor
+                # (and overwrite frame_len from audio sample counts)
                 X = None
             elif self.text_mode:
                 # text-encoder source: padded int token ids
@@ -261,6 +268,7 @@ class DataLoader:
                     ids = [w2i.get(w, SYMBOLS.UNK_ID)
                            for w in self.map[set_key][u][self.enc_key]][:T]
                     X[j, : len(ids)] = ids
+                    frame_len[j] = len(ids)
             else:
                 feats = [self._load_speech(u, set_key, max_sp) for u in utts]
                 D = feats[0].shape[1]
@@ -271,6 +279,7 @@ class DataLoader:
                         x = self._drop_frames(x, self.data_cfg["zero_input"],
                                               np_rng)
                     X[j, : len(x)] = x
+                    frame_len[j] = min(len(x), T)
 
             batch = {
                 "X": X,
@@ -278,6 +287,7 @@ class DataLoader:
                 "n_real": len(utts),
                 "bucket": b,
                 "rows": B,
+                "frame_len": frame_len,
             }
             if _skip_speech:
                 batch["X_rows"] = B

@@ -11,7 +11,8 @@ matmuls, fused by XLA into the encoder's first convolution.
 Select with ``data.features: "wav"``.  Layout:
   <speech_path>/<set_key>/<utt>.npy   float32 1-D raw audio (8 kHz), or
   <speech_path>/<set_key>/<utt>.wav   PCM wav (stdlib reader), or
-  <speech_path>/<set_key>/<utt>.sph   NIST SPHERE (pcm/ulaw; LDC Fisher)
+  <speech_path>/<set_key>/<utt>.sph   NIST SPHERE (pcm/ulaw/
+                                      embedded-shorten; LDC Fisher)
   <speech_path>/cmvn.stats            optional pickle
       {"utt2spk": {utt: spk}, "stats": {spk: {"mean": (13,), "std": (13,)}}}
   absent stats => identity normalization.
@@ -88,8 +89,9 @@ def read_sph(path, channel=None, with_rate=False):
     The LDC Fisher corpus ships SPHERE files that the reference pipeline
     decodes with sph2pipe (reference: fisher/kaldi/local/fsp_data_prep.sh:
     37-41).  Supported codings: uncompressed PCM (1/2-byte, either
-    endianness) and mu-law.  Shorten-compressed SPHERE ("embedded-shorten")
-    is NOT supported — decompress offline with sph2pipe first.
+    endianness), mu-law, and shorten v2 compression ("embedded-shorten"
+    — the coding the real LDC Fisher tapes use; decoded natively by
+    :mod:`ast_tpu.data.shorten`, no sph2pipe needed).
 
     ``channel``: 0-based channel to keep (Fisher is 2-channel, one per
     speaker); None averages channels.  ``with_rate=True`` additionally
@@ -121,16 +123,29 @@ def read_sph(path, channel=None, with_rate=False):
     byte_format = str(fields.get("sample_byte_format", "01"))
     n_samples = int(fields.get("sample_count", 0))
 
+    shorten_ftype = None
     if "shorten" in coding:
-        raise ValueError(
-            f"{path}: shorten-compressed SPHERE is unsupported — run "
-            "sph2pipe offline to decompress first")
+        # embedded-shorten: the waveform section is a shorten v2
+        # stream; decode it to the original sample bytes, then fall
+        # through to the ulaw/pcm branches below (the header's
+        # sample_coding prefix describes the DECODED bytes)
+        from ast_tpu.data import shorten as _shorten
+        stream = _shorten.decode(raw)
+        shorten_ftype = stream.ftype
+        raw = _shorten.samples_to_bytes(stream)
     if coding.startswith("ulaw") or coding.startswith("mu-law"):
         x = _ulaw_to_linear(np.frombuffer(raw, dtype=np.uint8))
         x = x.astype(np.float32) / 32768.0
     elif coding.startswith("pcm"):
         if n_bytes == 2:
             dtype = ">i2" if byte_format == "10" else "<i2"
+            if shorten_ftype is not None:
+                # the stream's own type is authoritative for endianness
+                from ast_tpu.data import shorten as _shorten
+                if shorten_ftype == _shorten.TYPE_S16HL:
+                    dtype = ">i2"
+                elif shorten_ftype == _shorten.TYPE_S16LH:
+                    dtype = "<i2"
             x = np.frombuffer(raw, dtype=dtype).astype(np.float32) / 32768.0
         elif n_bytes == 1:
             x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
@@ -320,9 +335,15 @@ class WavDataLoader(FisherDataLoader):
             audio = np.zeros((B, S), dtype=np.float32)
             mean = np.zeros((B, D), dtype=np.float32)
             std = np.ones((B, D), dtype=np.float32)
+            from ast_tpu.ops.fbank import num_frames
             for j, u in enumerate(batch["utts"]):
                 x = self._load_audio(u, set_key)[:S]
                 audio[j, : len(x)] = x
+                # true FEATURE frame count from the audio sample count —
+                # in-graph SpecAugment can't infer it (CMVN'd silence is
+                # nonzero), so the loader supplies it
+                batch["frame_len"][j] = min(T, num_frames(
+                    self.mfcc_cfg, len(x)))
                 spk = self.utt2spk.get(u)
                 if spk is not None and spk in self.cmvn:
                     mean[j] = self.cmvn[spk]["mean"]

@@ -767,10 +767,11 @@ def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
     if train and label_smoothing > 0:
-        # smooth over the REAL vocab columns only: the Vp padding rows
-        # carry -1e9 biases whose -logp would dominate the mean
+        # these logits come from the UNPADDED out_w/out_b (V columns) —
+        # only the Pallas kernels see Vp-packed weights — so the mean
+        # already runs over the real vocab
         eps = label_smoothing
-        nll = (1.0 - eps) * nll + eps * -jnp.mean(logp[..., :V], axis=-1)
+        nll = (1.0 - eps) * nll + eps * -jnp.mean(logp, axis=-1)
     pad_w = (target != SYMBOLS.PAD_ID).astype(jnp.float32)
     return jnp.sum(nll * pad_w) / jnp.asarray(n_real, jnp.float32)
 

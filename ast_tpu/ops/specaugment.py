@@ -40,19 +40,15 @@ import jax.numpy as jnp
 
 
 def frame_lengths(X):
-    """Per-row real frame count: last frame with any nonzero
-    coefficient, + 1.
+    """Per-row real frame count inferred from the data: last frame with
+    any nonzero coefficient, + 1.
 
-    X: (B, T, D) zero-padded features.  Interior all-zero frames (from
-    ``data.zero_input`` dropout) only ever precede the trailing pad
-    block, so "last nonzero" is the correct boundary.  All-pad rows
-    (tail-shrink repeats are real rows; this is only the B > n_real
-    slack) return 0.
-
-    In wav mode (features computed in-graph from padded audio) CMVN'd
-    silence frames are nonzero, so this resolves to ~T and time masks
-    sample over the full padded extent — still valid augmentation, just
-    without the padding-aware placement the .npy path gets.
+    Fallback only — the trainer passes the loader's TRUE per-row frame
+    counts into :func:`spec_augment` (batch["frame_len"]), which is
+    exact even when ``data.zero_input`` dropout zeroes a row's final
+    real frame and in wav mode (where CMVN'd silence is nonzero and
+    this heuristic would resolve to ~T).  Kept for direct callers that
+    only have the padded block.
     """
     valid = jnp.any(X != 0, axis=-1)  # (B, T)
     T = X.shape[1]
@@ -84,10 +80,13 @@ def _axis_keep_mask(key, B, size, max_width, span, width_cap=None):
     return ~((i >= start) & (i < start + w))
 
 
-def spec_augment(key, X, cfg):
+def spec_augment(key, X, cfg, lengths=None):
     """Apply SpecAugment masks to a padded feature batch.
 
-    X: (B, T, D) float features (post-CMVN); cfg: see module docstring.
+    X: (B, T, D) float features (post-CMVN); cfg: see module docstring;
+    ``lengths`` (optional, (B,) int): the TRUE per-row real frame
+    counts from the dataloader — time masks are placed within them.
+    When absent, falls back to :func:`frame_lengths` inference.
     Returns X with masked cells zeroed.  With all mask counts 0 this is
     the identity (and the caller gates on the config statically, so the
     default path never traces it at all).
@@ -101,9 +100,13 @@ def spec_augment(key, X, cfg):
 
     keep_f = jnp.ones((B, D), bool)
     keep_t = jnp.ones((B, T), bool)
-    lengths = None
     if n_t > 0 and t_w > 0:
-        lengths = frame_lengths(X)[:, None]  # (B, 1)
+        if lengths is None:
+            lengths = frame_lengths(X)[:, None]  # (B, 1)
+        else:
+            lengths = jnp.asarray(lengths, jnp.int32).reshape(B, 1)
+    else:
+        lengths = None
 
     keys = jax.random.split(key, n_f + n_t)
     for m in range(n_f):

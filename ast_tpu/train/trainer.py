@@ -332,13 +332,16 @@ class NN:
         # configs (identical gradients; tests/test_trainer_e2e.py)
         remat = bool(extras.get("remat", False))
 
-        def step(params, state, opt_state, X, y, n_real, key):
+        def step(params, state, opt_state, X, y, n_real, key,
+                 frame_len=None):
             if featurize is not None:
                 X = featurize(X)
             if sa_cfg is not None:
                 from ast_tpu.ops.specaugment import spec_augment
                 key, sa_key = jax.random.split(key)
-                X = spec_augment(sa_key, X, sa_cfg)
+                # frame_len: the loader's TRUE per-row frame counts —
+                # time masks place within the real extent in every mode
+                X = spec_augment(sa_key, X, sa_cfg, lengths=frame_len)
 
             def loss_fn(p):
                 return seq2seq.forward_loss(
@@ -347,6 +350,7 @@ class NN:
                     random_out=extras["random_out"],
                     add_noise=extras["speech_noise"],
                     compute_dtype=compute_dtype, mesh=mesh,
+                    label_smoothing=extras["label_smoothing"],
                 )
 
             if remat:
@@ -367,28 +371,30 @@ class NN:
             # leading (step) axis with (params, state, opt_state) carried
             # — bit-identical to G sequential ``step`` calls
             def multi_step(params, state, opt_state, Xs, ys, n_reals,
-                           epoch_key, start):
+                           epoch_key, start, frame_lens=None):
                 G = Xs[0].shape[0] if isinstance(Xs, tuple) \
                     else Xs.shape[0]
 
                 def body(carry, inp):
                     p, s, o = carry
-                    X, y, n_real, j = inp
+                    X, y, n_real, j, frame_len = inp
                     key = jax.random.fold_in(epoch_key, start + j)
-                    p, s, o, loss = step(p, s, o, X, y, n_real, key)
+                    p, s, o, loss = step(p, s, o, X, y, n_real, key,
+                                         frame_len)
                     return (p, s, o), loss
 
                 (params, state, opt_state), losses = jax.lax.scan(
                     body, (params, state, opt_state),
-                    (Xs, ys, n_reals, jnp.arange(G)))
+                    (Xs, ys, n_reals, jnp.arange(G), frame_lens))
                 return params, state, opt_state, losses
 
             fn = multi_step
         else:
             def single_step(params, state, opt_state, X, y, n_real,
-                            epoch_key, idx):
+                            epoch_key, idx, frame_len=None):
                 key = jax.random.fold_in(epoch_key, idx)
-                return step(params, state, opt_state, X, y, n_real, key)
+                return step(params, state, opt_state, X, y, n_real, key,
+                            frame_len)
 
             fn = single_step
 
@@ -441,6 +447,8 @@ class NN:
         }
         if labels:
             out["y"] = batch["y"]
+            if "frame_len" in batch:
+                out["frame_len"] = batch["frame_len"]
         if self.mesh is not None:
             out = shard_batch(out, self.mesh)
         else:
@@ -468,6 +476,9 @@ class NN:
             "n_real": np.asarray([b["n_real"] for b in batches],
                                  np.float32),
         }
+        if all("frame_len" in b for b in batches):
+            out["frame_len"] = np.stack(
+                [b["frame_len"] for b in batches])
         if self.mesh is not None:
             # leading axis is the scan (step) axis; shard batch rows
             out = shard_batch(out, self.mesh, axis=1)
@@ -562,7 +573,7 @@ class NN:
             p, s, o, loss = self._train_step(
                 self.params, self.state, self.opt_state,
                 batch["X"], batch["y"], batch["n_real"],
-                epoch_key, consumed)
+                epoch_key, consumed, batch.get("frame_len"))
             self.params, self.state, self.opt_state = p, s, o
             losses.append(loss)
             sizes.append(max(1, len(batch["utts"])))
@@ -575,7 +586,7 @@ class NN:
                     p, s, o, loss_vec = self._train_multi_step(
                         self.params, self.state, self.opt_state,
                         payload["X"], payload["y"], payload["n_real"],
-                        epoch_key, consumed)
+                        epoch_key, consumed, payload.get("frame_len"))
                     self.params, self.state, self.opt_state = p, s, o
                     losses.append(loss_vec)
                     sizes.extend(payload["sizes"])

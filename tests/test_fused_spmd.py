@@ -11,6 +11,10 @@ tests pin that equivalence end-to-end through the real train step
 driver dry-run validates).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

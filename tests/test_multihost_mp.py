@@ -11,6 +11,10 @@ capability; ast_tpu/parallel/multihost.py design):
   outputs), so multi-host dev BLEU works.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import socket
 import subprocess

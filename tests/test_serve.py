@@ -4,6 +4,10 @@ Pins: a decode request against the running server returns exactly the
 in-process decoder's text; beam mode reranks; malformed bodies get 400.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import threading

@@ -129,3 +129,60 @@ def test_trainer_spec_augment_path(tmp_path):
     # and the disabled path is bit-reproducible across builds
     for x, y in zip(leaves_b, leaves_c):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_true_lengths_override_inference():
+    """Passing the loader's true lengths beats the last-nonzero
+    heuristic: a row whose FINAL real frame was zeroed (zero_input can
+    do this) still masks within its true extent, and a dummy all-zero
+    row with length 0 stays untouched."""
+    lengths = [40, 40, 0]
+    X = np.array(_batch([40, 40, 5]))
+    X[1, 39] = 0.0      # final real frame zeroed: heuristic says 39
+    X[2] = 0.0
+    X[2, :5] = 1.0      # "dummy" row with stale data; true length 0
+    X = jnp.asarray(X)
+    cfg = {"freq_masks": 0, "time_masks": 2, "time_width": 30}
+    for s in range(6):
+        out = np.asarray(spec_augment(
+            jax.random.PRNGKey(s), X, cfg,
+            lengths=jnp.asarray(lengths, jnp.int32)))
+        # row 2: length 0 => no time mask touches it
+        np.testing.assert_array_equal(out[2], np.asarray(X)[2])
+        for j in (0, 1):
+            masked = np.where(~out[j, :40].any(axis=-1))[0]
+            masked = [t for t in masked if t != 39]  # 39 already zero in row 1
+            if masked:
+                runs = np.split(np.asarray(masked),
+                                np.where(np.diff(masked) != 1)[0] + 1)
+                assert sum(len(r) for r in runs) <= 60
+
+
+def test_loader_emits_true_frame_lengths(tmp_path):
+    """Every dataloader batch carries frame_len == the true per-row
+    frame count (dummy rows 0), even when zero_input dropout zeroes
+    frames."""
+    from ast_tpu.train.trainer import NN
+
+    exp = make_tiny_experiment(str(tmp_path), n_train=8, batch_size=4)
+    cfg_path = os.path.join(exp, "train_cfg.json")
+    cfg = json.load(open(cfg_path))
+    cfg["data"]["zero_input"] = 3
+    json.dump(cfg, open(cfg_path, "w"))
+    nn = NN(exp)
+    seen = 0
+    for batch in nn.data_loader.get_batch(4, "tiny_train", train=True,
+                                          labels=True, epoch=0):
+        fl = batch["frame_len"]
+        assert fl.shape == (batch["rows"],)
+        n_real = batch["n_real"]
+        assert (fl[:n_real] > 0).all()
+        assert (fl[n_real:] == 0).all()
+        T = batch["X"].shape[1]
+        assert (fl <= T).all()
+        # real frames exist at fl-1... but zero_input may have zeroed
+        # them — the POINT of carrying true lengths; just check padding
+        for j in range(n_real, batch["rows"]):
+            assert not batch["X"][j].any()
+        seen += 1
+    assert seen > 0

@@ -155,3 +155,39 @@ def test_decode_pipeline_depth_invariance(trained_exp):
                        nn.decode_beam_set("tiny_dev", N=2, K=2))
     assert outs[1][0] == outs[3][0]
     assert outs[1][1] == outs[3][1]
+
+
+def test_label_smoothing_wired(tmp_path):
+    """extras.label_smoothing reaches the train-path loss: a smoothed
+    step produces a different loss and different updates than eps=0,
+    and eps=0 stays the exact reference CE (same as an unset config)."""
+    import jax
+    import jax.numpy as jnp
+
+    def copy(t):
+        return jax.tree.map(jnp.array, t)
+
+    exps = {}
+    for name, eps in [("e0", 0.0), ("es", 0.2)]:
+        exp = make_tiny_experiment(
+            os.path.join(str(tmp_path), name), n_train=8, n_dev=4,
+            batch_size=4, extras={"label_smoothing": eps})
+        exps[name] = NN(exp)
+    nn0, nns = exps["e0"], exps["es"]
+    batch = next(nn0.data_loader.get_batch(
+        4, "tiny_train", train=True, labels=True, epoch=0))
+    db = nn0._device_batch(batch, True)
+    key = jax.random.PRNGKey(7)
+
+    p0, _, _, l0 = nn0._train_step(
+        copy(nn0.params), copy(nn0.state), copy(nn0.opt_state),
+        db["X"], db["y"], db["n_real"], key, 0)
+    ps, _, _, ls = nns._train_step(
+        copy(nns.params), copy(nns.state), copy(nns.opt_state),
+        db["X"], db["y"], db["n_real"], key, 0)
+    assert abs(float(l0) - float(ls)) > 1e-6
+    leaves0 = jax.tree_util.tree_leaves(p0)
+    leavess = jax.tree_util.tree_leaves(ps)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, leavess))
