@@ -166,24 +166,32 @@ def _nearest_inverse(values):
 # ---------------------------------------------------------------------------
 
 class _BitReader:
-    """MSB-first bit reader over bytes."""
+    """MSB-first bit reader over bytes.
 
-    __slots__ = ("bits", "pos", "n")
+    The positions of all 1-bits are indexed once up front
+    (``self.ones``), so unary scans are a searchsorted instead of a
+    rescan of the remaining stream — the naive per-call flatnonzero
+    made whole-stream decode quadratic.
+    """
+
+    __slots__ = ("bits", "pos", "n", "ones")
 
     def __init__(self, data):
         self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
         self.pos = 0
         self.n = len(self.bits)
+        self.ones = np.flatnonzero(self.bits)
 
     def uvar(self, k):
         bits = self.bits
         pos = self.pos
         # unary: count zero bits until a one
-        ones = np.flatnonzero(bits[pos:])
-        if not len(ones):
+        j = np.searchsorted(self.ones, pos, side="left")
+        if j >= len(self.ones):
             raise ValueError("shorten: bitstream truncated (unary)")
-        q = int(ones[0])
-        pos += q + 1
+        t = int(self.ones[j])
+        q = t - pos
+        pos = t + 1
         v = q
         if k:
             if pos + k > self.n:
@@ -212,41 +220,35 @@ class _BitReader:
         """
         k = k + 1  # signed codes carry the sign LSB
         bits = self.bits
-        pos = self.pos
-        ones = np.flatnonzero(bits[pos:])
-        # terminator i is the first 1-bit after skipping i codes; code i
-        # occupies [prev_end, one_i] + k low bits
-        if len(ones) < n:
-            raise ValueError("shorten: bitstream truncated (block)")
-        # low bits shift the 1-bit positions: terminator t_i satisfies
-        # t_i = ones[j_i] where j_i skips 1-bits consumed as low bits.
-        # Low bits may contain ones, so walk terminators iteratively —
-        # but in index space over `ones`, each step consumes exactly the
-        # 1-bits inside the k low bits following the terminator; resolve
-        # with a per-code loop over ones via searchsorted.
+        ones = self.ones
+        n_ones = len(ones)
+        # terminator of code i is the first 1-bit at/after its start;
+        # each code then consumes k low bits (which may contain 1-bits,
+        # so terminators are a data-dependent walk over `ones`, resolved
+        # with one searchsorted per code on the global index)
         q = np.empty(n, dtype=np.int64)
         ends = np.empty(n, dtype=np.int64)
-        start = 0
-        ji = 0
+        start = self.pos
+        ji = int(np.searchsorted(ones, start, side="left"))
         for i in range(n):
-            # next terminator at or after `start`
-            ji = np.searchsorted(ones, start, side="left")
-            if ji >= len(ones):
+            if ji >= n_ones:
                 raise ValueError("shorten: bitstream truncated (block)")
             t = int(ones[ji])
             q[i] = t - start
-            ends[i] = t + 1 + k
             start = t + 1 + k
+            ends[i] = start
+            # skip the 1-bits consumed as this code's low bits
+            ji = int(np.searchsorted(ones, start, side="left"))
+        if ends[-1] > self.n:
+            raise ValueError("shorten: bitstream truncated (block)")
         if k:
-            idx = ends[:, None] - k + np.arange(k)[None, :] + pos
-            if pos + int(ends[-1]) > self.n:
-                raise ValueError("shorten: bitstream truncated (block)")
+            idx = ends[:, None] - k + np.arange(k)[None, :]
             low = bits[idx].astype(np.int64)
             weights = 1 << np.arange(k - 1, -1, -1, dtype=np.int64)
             u = (q << k) | (low * weights).sum(axis=1)
         else:
             u = q
-        self.pos = pos + int(ends[-1])
+        self.pos = int(ends[-1])
         return (u >> 1) ^ -(u & 1)
 
 
@@ -316,14 +318,30 @@ class ShortenStream:
         self.verbatim = verbatim    # bytes (in stream order)
 
 
-def decode(data, max_samples=None):
+def decode(data, max_samples=None, _force_python=False):
     """Decode a shorten v2 (or v1) stream.
 
     ``data``: bytes starting at the ``ajkg`` magic.  Returns
     :class:`ShortenStream` with internal (pre-serialization) sample
     values.  ``max_samples``: optional early stop after that many
     per-channel samples (segment reads don't pay for the whole tape).
+
+    Dispatches to the native decoder (ast_tpu/native/shorten_dec.cc,
+    ~100x this implementation) when the toolchain built it; this Python
+    path is the readable reference and the fallback, and the two are
+    equivalence-tested on every predictor/option combination.
     """
+    if not _force_python:
+        try:
+            from ast_tpu.native import fast_shn_decode
+        except Exception:
+            fast_shn_decode = None
+        if fast_shn_decode is not None:
+            out = fast_shn_decode(data, max_samples)
+            if out is not None:
+                ftype, samples, verbatim = out
+                return ShortenStream(ftype, samples.shape[1],
+                                     samples.astype(np.int64), verbatim)
     if data[:4] != MAGIC:
         raise ValueError("shorten: bad magic (expected 'ajkg')")
     version = data[4]

@@ -12,14 +12,15 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "ark_parser.cc")
+_SRCS = [os.path.join(_DIR, "ark_parser.cc"),
+         os.path.join(_DIR, "shorten_dec.cc")]
 _LIB = os.path.join(_DIR, "libastio.so")
 
 _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", *_SRCS, "-o", _LIB]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -29,9 +30,13 @@ def _load():
         return _lib
     try:
         if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_LIB)
+                < max(os.path.getmtime(s) for s in _SRCS)):
             _build()
         lib = ctypes.CDLL(_LIB)
+        if not hasattr(lib, "shn_decode"):
+            _build()          # stale single-source library: rebuild
+            lib = ctypes.CDLL(_LIB)
     except Exception:
         return None
 
@@ -50,8 +55,56 @@ def _load():
     lib.ark_parse_text.argtypes = [ctypes.c_char_p]
     lib.ark_free.argtypes = [ctypes.POINTER(ArkResult)]
     lib._ArkResult = ArkResult
+
+    class ShnResult(ctypes.Structure):
+        _fields_ = [
+            ("samples", ctypes.POINTER(ctypes.c_int32)),
+            ("n", ctypes.c_longlong),
+            ("nchan", ctypes.c_int),
+            ("ftype", ctypes.c_int),
+            ("verbatim", ctypes.POINTER(ctypes.c_uint8)),
+            ("verbatim_len", ctypes.c_longlong),
+            ("error", ctypes.c_char_p),
+        ]
+
+    lib.shn_decode.restype = ctypes.POINTER(ShnResult)
+    lib.shn_decode.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                               ctypes.c_longlong]
+    lib.shn_free.argtypes = [ctypes.POINTER(ShnResult)]
+    lib._ShnResult = ShnResult
     _lib = lib
     return lib
+
+
+def _fast_shn_decode(data, max_samples=None):
+    """Shorten v2 stream -> (ftype, (n, nchan) int32, verbatim bytes)
+    via the C++ decoder; raises ValueError with the decoder's message
+    on malformed streams.  Returns None if the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    res = lib.shn_decode(bytes(data), len(data),
+                         -1 if max_samples is None else int(max_samples))
+    if not res:
+        raise MemoryError("shn_decode allocation failed")
+    try:
+        r = res.contents
+        if r.error:
+            raise ValueError(r.error.decode())
+        n, nchan = int(r.n), int(r.nchan)
+        if n:
+            samples = np.ctypeslib.as_array(
+                r.samples, shape=(n * nchan,)).copy().reshape(n, nchan)
+        else:
+            samples = np.zeros((0, max(nchan, 1)), dtype=np.int32)
+        verb = b""
+        if r.verbatim_len:
+            verb = bytes(np.ctypeslib.as_array(
+                r.verbatim, shape=(int(r.verbatim_len),)))
+        return int(r.ftype), samples, verb
+    finally:
+        lib.shn_free(res)
 
 
 def _fast_text_ark(path):
@@ -96,3 +149,4 @@ def _fast_text_ark(path):
 
 
 fast_text_ark = _fast_text_ark if _load() is not None else None
+fast_shn_decode = _fast_shn_decode if _load() is not None else None

@@ -4,6 +4,8 @@ to G sequential single-step dispatches, and the dataloader's
 ``group_runs`` ordering must stay a deterministic permutation so
 prefix-based crash resume keeps working."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,7 @@ def test_group_stream_chunks_same_bucket():
         [[1, 1], [1], [2, 2], [1], [3]]
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential_singles(tmp_path):
     G = 2
     exp = make_tiny_experiment(
@@ -92,6 +95,7 @@ def test_multi_step_matches_sequential_singles(tmp_path):
             err_msg=f"param mismatch at {pa}")
 
 
+@pytest.mark.slow
 def test_e2e_train_with_multi_dispatch(tmp_path):
     exp = make_tiny_experiment(
         str(tmp_path), n_train=16, n_dev=4, batch_size=4,

@@ -3,6 +3,8 @@ step sharded data-parallel must match the unsharded single-device
 result exactly (the SPMD partitioner's all-reduce composes with the
 step scan)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,7 @@ def _pin_parallel(exp, data_axis):
         json.dump(cfg, f)
 
 
+@pytest.mark.slow
 def test_mesh_multi_step_matches_single_device(tmp_path):
     G = 2
     # two identical experiments (same seed string => same init), one

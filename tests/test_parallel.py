@@ -96,6 +96,7 @@ def test_model_parallel_loss_matches():
     assert abs(base - got) < 1e-3
 
 
+@pytest.mark.slow
 def test_dp_full_train_step_matches_single_device():
     """The hard case the grad oracle above sidesteps: a FULL train-mode
     step — dropout, speech noise, scheduled sampling, Adam update — on a

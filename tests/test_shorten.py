@@ -211,3 +211,51 @@ def test_ffmpeg_decodes_committed_golden(shn_oracle, tmp_path):
     # and our own decoder agrees with libavcodec on the same bytes
     st = sh.decode(data)
     np.testing.assert_array_equal(st.samples, got)
+
+
+# ---------------------------------------------------------------------------
+# native (C++) decoder equivalence
+# ---------------------------------------------------------------------------
+
+def _native_available():
+    try:
+        from ast_tpu.native import fast_shn_decode
+        return fast_shn_decode is not None
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _native_available(),
+                    reason="native toolchain unavailable")
+@pytest.mark.parametrize("kw", [
+    {}, {"use_qlpc": True, "predictors": (sh.FN_QLPC,)},
+    {"predictors": (sh.FN_DIFF0,)}, {"predictors": (sh.FN_DIFF1,)},
+    {"predictors": (sh.FN_DIFF2,)}, {"predictors": (sh.FN_DIFF3,)},
+    {"nmean": 0}, {"nmean": 1}, {"bitshift": 2}, {"blocksize": 64},
+    {"verbatim": b"HDR\x00\xffbytes"},
+])
+def test_native_matches_python(kw):
+    """ast_tpu/native/shorten_dec.cc == the Python reference, sample
+    for sample and verbatim byte for verbatim byte."""
+    x = _sig(3000, seed=7)
+    if kw.get("bitshift"):
+        x &= ~3
+    data = sh.encode(x, sh.TYPE_S16LH, **kw)
+    st_py = sh.decode(data, _force_python=True)
+    st_c = sh.decode(data)
+    assert st_c.ftype == st_py.ftype and st_c.nchan == st_py.nchan
+    np.testing.assert_array_equal(st_c.samples, st_py.samples)
+    assert st_c.verbatim == st_py.verbatim
+    np.testing.assert_array_equal(st_c.samples, x)
+
+
+@pytest.mark.skipif(not _native_available(),
+                    reason="native toolchain unavailable")
+def test_native_error_paths():
+    from ast_tpu.native import fast_shn_decode
+    with pytest.raises(ValueError, match="magic"):
+        fast_shn_decode(b"nope" + b"\x00" * 50, None)
+    x = _sig(1000)
+    data = sh.encode(x, sh.TYPE_S16LH)
+    with pytest.raises(ValueError, match="truncated"):
+        fast_shn_decode(data[: len(data) // 2], None)

@@ -99,6 +99,7 @@ def test_deterministic_and_jittable():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_trainer_spec_augment_path(tmp_path):
     """A spec_augment config trains (finite decreasing-ish loss) and
     produces different params than the unaugmented run; absence of the

@@ -11,6 +11,10 @@ The experiment dir is copied to tmp so checkpoints/logs/bucket dicts do
 not dirty the repo; the *data* read is the committed pickles/refs.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import shutil

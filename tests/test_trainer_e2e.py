@@ -40,6 +40,7 @@ def test_resume_continues_from_max_epoch(trained_exp):
     assert nn.max_epoch == 2
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_epochs(trained_exp):
     nn = NN(trained_exp)
     losses = [nn.train_epoch("tiny_train", epoch=e) for e in range(3, 7)]
@@ -89,6 +90,7 @@ def test_beam_cli_explicit_ckpt_paths(trained_exp):
         trained_exp, "tiny_dev_beam_N-2_K-2.p"))
 
 
+@pytest.mark.slow
 def test_remat_gradients_match(tmp_path):
     """extras.remat (jax.checkpoint around the loss) must produce the
     same parameter update as the plain step — recompute-for-memory only,
@@ -143,6 +145,7 @@ def test_copy_params_cli(trained_exp, tmp_path):
         np.asarray(nn_s.params["cnn"][0]["w"]))
 
 
+@pytest.mark.slow
 def test_decode_pipeline_depth_invariance(trained_exp):
     """extras.decode_pipeline is pure dispatch overlap: predict and
     decode_beam_set return IDENTICAL results at depth 1 (the old
@@ -157,6 +160,7 @@ def test_decode_pipeline_depth_invariance(trained_exp):
     assert outs[1][1] == outs[3][1]
 
 
+@pytest.mark.slow
 def test_label_smoothing_wired(tmp_path):
     """extras.label_smoothing reaches the train-path loss: a smoothed
     step produces a different loss and different updates than eps=0,

@@ -109,6 +109,7 @@ def test_wav_loader_batches(wav_exp):
     assert n == 6
 
 
+@pytest.mark.slow
 def test_wav_train_end_to_end(wav_exp):
     """Full harness: on-device MFCC+CMVN fused into the train step."""
     from ast_tpu.train.trainer import NN
