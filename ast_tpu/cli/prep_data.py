@@ -17,6 +17,9 @@ regenerable end to end:
   build-dicts      corpus dir -> map/vocab/info/data pickles + refs
   meteor-refs      ref.en0..N-1 -> METEOR multi-ref layout
   validate         corpus consistency check (+ --fix in-place repair)
+  fisher-recipe    ALL of the above in one command: raw tapes +
+                   segments + transcripts -> runnable experiment dir
+                   (the reference's train_all.sh:32-60 chain, in-repo)
 
 Usage: python -m ast_tpu.cli.prep_data <subcommand> [args]
 """
@@ -272,9 +275,62 @@ def cmd_validate(args):
         sys.exit(1)
 
 
+def cmd_fisher_recipe(args):
+    """One command from a raw LDC-style tree to a runnable experiment
+    (reference: linking_files/fisher/kaldi/train_all.sh:32-60 chains
+    the same stages through Kaldi + sph2pipe; every stage here is
+    in-repo — see ast_tpu/data/recipe.py)."""
+    from ast_tpu.data.recipe import fisher_recipe
+    exp = fisher_recipe(
+        audio_dir=args.audio_dir, segments=args.segments,
+        text_dir=args.text_dir, out=args.out,
+        sets=tuple(args.sets.split(",")),
+        channel_map=args.channel_map, utt2spk=args.utt2spk,
+        bpe_merges=args.merges, buckets_num=args.buckets_num,
+        buckets_width=args.buckets_width, wav_mode=args.wav,
+        model_cfg=args.model_cfg, batch_size=args.batch_size,
+        seed=args.seed, rate=args.rate,
+        allow_missing=args.allow_missing)
+    print(f"experiment ready: python train.py -m {exp} -e <epochs>")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser(
+        "fisher-recipe",
+        help="raw tapes (+segments+transcripts) -> complete runnable "
+             "experiment dir in one command (extract-segments -> mfcc "
+             "-> cmvn -> bpe -> dicts -> refs -> configs -> validate)")
+    p.add_argument("--audio_dir", required=True,
+                   help="directory of <reco>.sph|.wav|.npy (embedded-"
+                        "shorten SPHERE decodes natively)")
+    p.add_argument("--segments", required=True,
+                   help="Kaldi segments file: utt reco start end")
+    p.add_argument("--text_dir", required=True,
+                   help="directory of <set>.ids + <set>.clean.text")
+    p.add_argument("--out", required=True, help="output tree root")
+    p.add_argument("--sets", default="train,dev",
+                   help="comma list; first is the train set")
+    p.add_argument("--channel-map", dest="channel_map", default=None,
+                   help="file of 'reco channel' lines (Fisher A/B)")
+    p.add_argument("--utt2spk", default=None,
+                   help="file of 'utt spk' lines for CMVN grouping "
+                        "(default: speaker = recording)")
+    p.add_argument("--merges", type=int, default=1000)
+    p.add_argument("--buckets_num", type=int, default=20)
+    p.add_argument("--buckets_width", type=int, default=80)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--seed", default="fisher-recipe")
+    p.add_argument("--rate", type=int, default=8000)
+    p.add_argument("--wav", action="store_true",
+                   help="wav mode: ship raw audio + cmvn.stats; MFCC "
+                        "runs inside the jitted train step")
+    p.add_argument("--model_cfg", default=None,
+                   help="model_cfg.json to copy (default: flagship)")
+    p.add_argument("--allow-missing", action="store_true")
+    p.set_defaults(fn=cmd_fisher_recipe)
 
     p = sub.add_parser("ark-to-conv")
     p.add_argument("ark")

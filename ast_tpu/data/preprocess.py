@@ -82,9 +82,17 @@ def load_speech_dict(in_path, sets):
 
 def prepare_corpus(in_path, out_path, bpe_merges=1000,
                    sets=("train", "dev", "test"), text_key="en_w",
-                   speech_data=None):
+                   speech_data=None, speech_frames=None):
     """Full corpus prep: learn BPE on train text, build map/vocab/info/data
-    pickles + refs.  Returns the dict of artifact paths."""
+    pickles + refs.  Returns the dict of artifact paths.
+
+    ``speech_frames`` ({set: {utt: n_frames}}): pass frame counts
+    directly when features already live as per-utterance .npy files
+    (the fisher-recipe path) — info gets exact "sp" counts without
+    loading or re-pickling any feature arrays, and data.dict is
+    written empty (the loader reads features from speech_path, never
+    from data.dict).
+    """
     os.makedirs(out_path, exist_ok=True)
 
     texts = {c: _read_lines(os.path.join(in_path, f"{c}.clean.text"))
@@ -124,16 +132,23 @@ def prepare_corpus(in_path, out_path, bpe_merges=1000,
                 text_key: [w.encode() for w in raw.split()],
             }
 
-    if speech_data is None:
+    if speech_frames is not None:
+        speech_data = {c: {} for c in sets}
+    elif speech_data is None:
         speech_data = load_speech_dict(in_path, sets)
+
+    def _frames(c, utt):
+        if speech_frames is not None:
+            return int(speech_frames[c].get(utt, 0))
+        feats = speech_data[c].get(utt)
+        return int(feats.shape[0]) if feats is not None else 0
 
     info = {}
     for c in sets:
         info[c] = {}
         for utt in map_dict[c]:
-            feats = speech_data[c].get(utt)
             info[c][utt] = {
-                "sp": int(feats.shape[0]) if feats is not None else 0,
+                "sp": _frames(c, utt),
                 text_key: len(map_dict[c][utt][text_key]),
                 "bpe_w": len(map_dict[c][utt]["bpe_w"]),
             }
