@@ -388,7 +388,22 @@ def _start_watchdog(t0, deadline_s, payload_fn):
     threading.Thread(target=watch, daemon=True).start()
 
 
-def _train_payload(specs, fused_rounds, scan_best, standin):
+def _decile_spread(v):
+    """(p90 - p10) / median — the artifact's comparability signal.
+
+    The full max-min range can only GROW as more tunnel windows are
+    sampled (one slow minute fixes the min forever), so a range-based
+    stop could never converge by sampling longer; the decile spread
+    shrinks as the stable neighborhood accumulates samples, which is
+    what round-over-round comparisons actually need."""
+    if len(v) < 2:
+        return 0.0
+    p10, p90 = np.percentile(v, [10, 90])
+    return round(float(p90 - p10) / max(1e-9, float(np.median(v))), 3)
+
+
+def _train_payload(specs, fused_rounds, scan_best, standin,
+                   round_times=None, deadline_hit=None):
     """Build the result JSON from whatever has been measured so far."""
     done = {k: v for k, v in fused_rounds.items() if v}
     if not done:
@@ -399,10 +414,8 @@ def _train_payload(specs, fused_rounds, scan_best, standin):
         }
     fused_best = {k: max(v) for k, v in done.items()}
     fused_median = {k: float(np.median(v)) for k, v in done.items()}
-    # relative spread over rounds: (max - min) / median — the recorded
-    # artifact's round-over-round comparability signal (the remote-TPU
-    # tunnel swings >2x between minutes; see BASELINE.md)
-    fused_spread = {
+    fused_spread = {k: _decile_spread(v) for k, v in done.items()}
+    fused_range = {
         k: round((max(v) - min(v)) / max(1e-9, float(np.median(v))), 3)
         for k, v in done.items()}
     best_cfg = max(fused_best, key=fused_best.get)
@@ -425,7 +438,15 @@ def _train_payload(specs, fused_rounds, scan_best, standin):
         "vs_dispatch_standin": round(vs_standin, 2) if vs_standin else None,
         "median": round(fused_median[best_cfg], 2),
         "spread": fused_spread[best_cfg],
+        "spread_def": "(p90-p10)/median over rounds",
+        "spread_full_range": fused_range[best_cfg],
         "rounds": len(done[best_cfg]),
+        # per-round [seconds-since-start, utts/sec] for the headline
+        # config: a window-straddled artifact is diagnosable post hoc
+        "round_samples": [
+            [round(t, 1), round(v, 1)]
+            for t, v in (round_times or {}).get(best_cfg, [])],
+        **({} if deadline_hit is None else {"deadline_hit": deadline_hit}),
         "fused_utts_per_sec": {
             k: round(v, 2) for k, v in fused_best.items()},
         "fused_median_utts_per_sec": {
@@ -491,10 +512,11 @@ def main():
     specs = {"B32": (32, 1), "B128": (128, 1),
              "B32_G8": (32, 8), "B128_G4": (128, 4)}
     fused_rounds = {}
+    round_times = {}
     scan_best = {}
     standin_box = [None]
     _start_watchdog(t0, deadline, lambda: _train_payload(
-        specs, fused_rounds, scan_best, standin_box[0]))
+        specs, fused_rounds, scan_best, standin_box[0], round_times))
     runners, scans = {}, {}
     for name, (B, G) in specs.items():
         try:
@@ -510,6 +532,7 @@ def main():
         except Exception:
             pass
     fused_rounds.update({k: [] for k in runners})
+    round_times.update({k: [] for k in runners})
     scan_best.update({k: 0.0 for k in scans})
     if not runners:
         # tunnel down at compile time: still honor the one-JSON contract
@@ -522,7 +545,9 @@ def main():
         for k, run in runners.items():
             B = specs[k][0]
             try:
-                fused_rounds[k].append(run(max(8, 1024 // B)))
+                ups = run(max(8, 1024 // B))
+                fused_rounds[k].append(ups)
+                round_times[k].append((time.time() - t0, ups))
             except Exception:
                 pass
         for k, run in scans.items():
@@ -544,20 +569,33 @@ def main():
     # best-over-windows, not best-of-one-window.
     stale = 0
     stretch_t0 = time.time()
-    extras_end = min(t0 + 0.6 * deadline, stretch_t0 + 600)
+    extras_end = min(t0 + 0.6 * deadline, stretch_t0 + 900)
 
     def cur_best():
         return max((max(v) for v in fused_rounds.values() if v),
                    default=0.0)
 
-    for _ in range(24):
-        if (stale >= 4 and time.time() - stretch_t0 > 300) \
+    def headline_spread():
+        done = {k: v for k, v in fused_rounds.items() if v}
+        if not done:
+            return 0.0
+        best_cfg = max(done, key=lambda k: max(done[k]))
+        return _decile_spread(done[best_cfg])
+
+    # stop only when BOTH best-of has stabilized AND the headline
+    # config's decile spread is under 10% (round-over-round
+    # comparability, the round-3 verdict's bar); otherwise keep
+    # stretching across tunnel windows until the time budget runs out
+    for _ in range(40):
+        if (stale >= 4 and headline_spread() <= 0.10
+                and time.time() - stretch_t0 > 300) \
                 or time.time() > extras_end:
             break
         time.sleep(20)
         prev_best = cur_best()
         one_round()
         stale = 0 if cur_best() > prev_best * 1.005 else stale + 1
+    deadline_hit = headline_spread() > 0.10
     # the eager stand-in costs minutes of tunnel round-trips; skip it
     # when the deadline is near so the jitted results still get emitted
     if time.time() - t0 < 0.75 * deadline:
@@ -567,7 +605,8 @@ def main():
             standin_box[0] = None
 
     emit_once(_train_payload(specs, fused_rounds, scan_best,
-                             standin_box[0]))
+                             standin_box[0], round_times,
+                             deadline_hit=deadline_hit))
 
 
 if __name__ == "__main__":

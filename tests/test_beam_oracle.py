@@ -143,3 +143,44 @@ def test_sequential_oracle_self_consistency(model):
         greedy = oracle.predict(Xb, SYMBOLS.GO_ID, SYMBOLS.EOS_ID, STOP)
         hyp = ref[0][0][1:]  # strip GO
         assert hyp[:len(greedy[0])] == greedy[0].tolist()
+
+
+# ---------------------------------------------------------------------------
+# wide beams: the oracle at N=K in {8, 16} (BASELINE config 4 names
+# beam widths 5-16; everything above 5 was previously unexercised)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wide_model():
+    mcfg = jax.tree.map(lambda x: x, TINY_MODEL_CFG)
+    mcfg["rnn_config"] = dict(mcfg["rnn_config"], dec_vocab_size=24)
+    mcfg["dropout"] = {"embed": 0.0, "rnn": 0.0, "out": 0}
+    params, state = seq2seq.init_model(jax.random.PRNGKey(43), mcfg)
+    params["dec"]["out_b"] = params["dec"]["out_b"].at[
+        SYMBOLS.EOS_ID].add(2.0)
+    X = jax.random.normal(jax.random.PRNGKey(2), (2, 40, 13)) * 0.5
+    return mcfg, params, state, X
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("Nw,Kw", [(8, 8), (16, 16)])
+def test_batched_beam_matches_sequential_wide(wide_model, Nw, Kw):
+    """Hypothesis sets AND scores at widths 8/16 equal the reference's
+    sequential per-hypothesis algorithm."""
+    mcfg, params, state, X = wide_model
+    decode = beam_ops.make_beam_decoder(mcfg, N=Nw, K=Kw,
+                                        stop_limit=STOP)
+    hyps, scores, lengths = (np.asarray(a)
+                             for a in decode(params, state, X))
+    oracle = ReferenceOracle(params, state, mcfg)
+    for b in range(X.shape[0]):
+        ref = sequential_beam(oracle, np.asarray(X[b:b + 1]), STOP,
+                              Nw, Kw)
+        assert len(ref) == Nw
+        for n in range(Nw):
+            got = hyps[b, n, :lengths[b, n]].tolist()
+            want, want_score = ref[n]
+            assert got == want, (
+                f"utt {b} hyp {n}: batched {got} != sequential {want}")
+            np.testing.assert_allclose(scores[b, n], want_score,
+                                       rtol=1e-4, atol=1e-4)

@@ -85,3 +85,30 @@ def test_watchdog_emits_partial_on_deadline(bench, capsys, monkeypatch):
     payload = json.loads(out[0])
     assert payload["value"] == 42.0
     assert "aborted" in payload
+
+
+def test_payload_spread_and_round_samples(bench):
+    import numpy as np
+    # one slow outlier round must not dominate the recorded spread
+    samples = [100.0] * 18 + [45.0, 101.0]
+    p = bench._train_payload(
+        SPECS, {"B32": samples}, {"B32": 50.0}, None,
+        round_times={"B32": [(10.0 * i, v)
+                             for i, v in enumerate(samples)]},
+        deadline_hit=False)
+    # decile spread excludes the one-window outlier; full range keeps it
+    assert p["spread"] < 0.10
+    assert p["spread_full_range"] > 0.5
+    assert p["spread_def"].startswith("(p90-p10)")
+    assert p["deadline_hit"] is False
+    assert len(p["round_samples"]) == len(samples)
+    assert p["round_samples"][3] == [30.0, 100.0]
+
+
+def test_decile_spread_shrinks_with_stable_samples(bench):
+    # range-based spread can only grow; decile spread converges
+    v = [50.0, 100.0]
+    assert bench._decile_spread(v) > 0.4
+    v2 = v + [100.0] * 18
+    assert bench._decile_spread(v2) < bench._decile_spread(v)
+    assert bench._decile_spread([100.0]) == 0.0

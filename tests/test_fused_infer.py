@@ -130,3 +130,82 @@ def test_gather_1hot_split_reconstructs_f32_exactly():
     # and the (ordered) sum must reconstruct X bit-for-bit
     recon = np.asarray((p0 + p1) + p2)
     np.testing.assert_array_equal(recon, np.asarray(X))
+
+
+# ---------------------------------------------------------------------------
+# wide beams (BASELINE config 4 names widths 5-16)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wide_model():
+    """Bigger vocab so K=16 has candidates to rank (V >= N*? no: V >= K)."""
+    m = _mcfg(False)
+    m["rnn_config"]["dec_vocab_size"] = 24
+    params, state = seq2seq.init_model(jax.random.PRNGKey(5), m)
+    params["dec"]["out_b"] = params["dec"]["out_b"].at[
+        SYMBOLS.EOS_ID].add(1.5)
+    X = jax.random.normal(jax.random.PRNGKey(6), (2, 44, 13)) * 0.5
+    return params, state, X
+
+
+def _wide_mcfg(fused):
+    m = _mcfg(fused)
+    m["rnn_config"]["dec_vocab_size"] = 24
+    return m
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("N,K", [(8, 8), (16, 8), (16, 16)])
+def test_fused_beam_matches_while_loop_wide(wide_model, N, K):
+    """The in-kernel frontier at widths 8-16: the iterative masked-
+    argmax top-K (K sequential passes), the (R, R) one-hot gathers at
+    R = B*N = 32, and the candidate maps must still reproduce the XLA
+    beam token-exactly (interpret mode)."""
+    from ast_tpu.ops import beam as beam_ops
+
+    params, state, X = wide_model
+    ref_dec = beam_ops.make_beam_decoder(_wide_mcfg(False), N=N, K=K,
+                                         stop_limit=STOP)
+    got_dec = beam_ops.make_beam_decoder(_wide_mcfg(True), N=N, K=K,
+                                         stop_limit=STOP)
+    r_hyps, r_scores, r_lens = (np.asarray(a)
+                                for a in ref_dec(params, state, X))
+    g_hyps, g_scores, g_lens = (np.asarray(a)
+                                for a in got_dec(params, state, X))
+    np.testing.assert_array_equal(r_lens, g_lens)
+    np.testing.assert_allclose(r_scores, g_scores, rtol=1e-5, atol=1e-5)
+    for b in range(r_hyps.shape[0]):
+        for n in range(N):
+            L = r_lens[b, n]
+            np.testing.assert_array_equal(
+                r_hyps[b, n, :L], g_hyps[b, n, :L],
+                err_msg=f"hyp mismatch at utt {b} slot {n}")
+
+
+def test_fused_beam_chunk_gates_wide_widths():
+    """The VMEM model at flagship dims: whatever chunk fused_beam_chunk
+    picks at N in {5, 8, 16} must itself satisfy fused_beam_fits, be an
+    aligned divisor, and shrink (weakly) as N grows; impossible
+    geometries gate to 0 (clean XLA fallback) rather than a kernel that
+    would not fit."""
+    from ast_tpu.ops.fused_infer import (fused_beam_chunk,
+                                         fused_beam_fits)
+
+    L, H, E, A, T, Vp = 3, 512, 128, 512, 640, 8192
+    B = 128
+    chunks = {}
+    for N in (5, 8, 16):
+        c = fused_beam_chunk(L, B, N, H, E, A, T, Vp, weight_bytes=2)
+        chunks[N] = c
+        if c:
+            assert B % c == 0 and c % 8 == 0
+            assert fused_beam_fits(L, c, N, H, E, A, T, Vp, 2)
+            # the next aligned divisor up must NOT fit (c is maximal)
+            from ast_tpu.ops.fused_infer import aligned_divisors
+            bigger = [d for d in aligned_divisors(B) if d > c]
+            assert all(not fused_beam_fits(L, d, N, H, E, A, T, Vp, 2)
+                       for d in bigger)
+    assert sorted(chunks.values(), reverse=True) == [
+        chunks[5], chunks[8], chunks[16]]
+    # a geometry nothing fits (absurd T): clean 0
+    assert fused_beam_chunk(L, B, 16, H, E, A, 200_000, Vp, 2) == 0
