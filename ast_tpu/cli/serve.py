@@ -77,6 +77,9 @@ import json
 import os
 import queue
 import signal
+import socket
+import subprocess
+import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -550,11 +553,23 @@ class _Server(ThreadingHTTPServer):
     # hung device call is the cluster scheduler's SIGKILL, same as the
     # trainer's preemption contract.
     daemon_threads = False
+    # --workers pre-fork: every worker process binds the SAME port with
+    # SO_REUSEPORT and the kernel load-balances connections across them
+    # — N independent GILs for the host-side work (JSON, feature
+    # assembly, detok), the measured ceiling of single-process serving
+    # (BASELINE.md "HTTP serving under concurrent load")
+    reuse_port = False
+
+    def server_bind(self):
+        if self.reuse_port:
+            self.socket.setsockopt(socket.SOL_SOCKET,
+                                   socket.SO_REUSEPORT, 1)
+        super().server_bind()
 
 
 def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
                 batch_window_ms=0.0, replicas=1, warmup=False,
-                inflight=2):
+                inflight=2, reuse_port=False):
     """Build (ThreadingHTTPServer, ArtifactServer); caller runs
     ``serve_forever`` (the CLI) or a thread (tests)."""
     state = ArtifactServer(serving_dir, default_w=default_w,
@@ -668,7 +683,9 @@ def make_server(serving_dir, port=0, host="127.0.0.1", default_w=0.6,
             state.stats.record_request(time.monotonic() - t0)
             self._reply(200, out)
 
-    return _Server((host, port), Handler), state
+    cls = _Server if not reuse_port else type(
+        "_ReusePortServer", (_Server,), {"reuse_port": True})
+    return cls((host, port), Handler), state
 
 
 def main(argv=None):
@@ -698,7 +715,56 @@ def main(argv=None):
                         help="max batches queued per device (bounded "
                              "backpressure; 2 overlaps transfer with "
                              "compute, 1 = strict one-call-per-chip)")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="pre-fork this many server PROCESSES all "
+                             "bound to --port via SO_REUSEPORT (the "
+                             "kernel load-balances connections): one "
+                             "GIL per worker for the host-side "
+                             "JSON/feature/detok work.  Each worker "
+                             "opens its own device client — use with "
+                             "CPU-platform artifacts or one device per "
+                             "worker; a single TPU chip cannot be "
+                             "shared across processes.  Requires an "
+                             "explicit --port.")
+    parser.add_argument("--_reuseport_child", action="store_true",
+                        help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
+
+    if args.workers > 1:
+        if args.port == 0:
+            parser.error("--workers requires an explicit --port "
+                         "(every worker binds the same one)")
+        # parent becomes worker 0 (itself bound with SO_REUSEPORT) and
+        # spawns workers 1..N-1 as re-execed child processes; SIGTERM
+        # fans out so every worker drains in-flight requests
+        child_argv = [a for a in (argv if argv is not None
+                                  else sys.argv[1:])]
+        for flag in ("--workers",):
+            while flag in child_argv:
+                i = child_argv.index(flag)
+                del child_argv[i:i + 2]
+        children = [
+            subprocess.Popen(
+                [sys.executable, "-m", "ast_tpu.cli.serve",
+                 *child_argv, "--_reuseport_child"])
+            for _ in range(args.workers - 1)]
+
+        def _fan_out(signum, frame):
+            for c in children:
+                c.send_signal(signal.SIGTERM)
+        signal.signal(signal.SIGTERM, _fan_out)
+        # fall through: the parent serves too (handler below re-binds
+        # SIGTERM to ALSO drain its own server)
+        _worker_children = children
+    else:
+        _worker_children = []
+
+    # honor JAX_PLATFORMS even where a sitecustomize-registered backend
+    # outranks the env var (this image's tunneled-TPU plugin does):
+    # serving CPU artifacts, or pre-fork workers on a host whose single
+    # TPU cannot be shared across processes, must be able to force cpu
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from ast_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache(False)  # opt-in via env AST_TPU_COMPILE_CACHE
@@ -708,7 +774,9 @@ def main(argv=None):
                                batch_window_ms=args.batch_window_ms,
                                replicas=args.replicas,
                                warmup=args.warmup,
-                               inflight=args.inflight)
+                               inflight=args.inflight,
+                               reuse_port=(args.workers > 1
+                                           or args._reuseport_child))
     kinds = {k: len(v) for k, v in state.entries.items() if v}
     batching = (f", micro-batch window {args.batch_window_ms:g} ms"
                 if state.batcher else "")
@@ -730,6 +798,8 @@ def main(argv=None):
     def _term(signum, frame):
         print("SIGTERM: draining in-flight requests and shutting down",
               flush=True)
+        for c in _worker_children:       # fan out to pre-fork workers
+            c.send_signal(signal.SIGTERM)
         threading.Thread(target=httpd.shutdown, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _term)
@@ -743,6 +813,8 @@ def main(argv=None):
         if state.batcher is not None:
             state.batcher.close()        # dispatches remaining groups
         httpd.server_close()             # joins in-flight handlers
+        for c in _worker_children:       # every worker drains before exit
+            c.wait()
 
 
 if __name__ == "__main__":

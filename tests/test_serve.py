@@ -757,3 +757,63 @@ def test_serve_inflight_bounds_device_queue(tmp_path):
         assert peak[0] == 2, "no overlap at all — semaphore too strict"
     finally:
         httpd.shutdown()
+
+
+def test_serve_prefork_workers(tmp_path):
+    """--workers N: N processes bind the same port via SO_REUSEPORT,
+    the kernel spreads connections across them, every request gets a
+    correct answer, and SIGTERM drains the whole pool (parent fans out,
+    waits for children, exits 0)."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time as time_mod
+
+    exp = make_tiny_experiment(str(tmp_path))
+    out = export_model.main(
+        ["-m", exp, "--batch", "2", "--frames", "60",
+         "--platforms", "cpu", "--dtype", "float32"])
+
+    # pick a free port (SO_REUSEPORT needs an explicit one)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ast_tpu.cli.serve", "-d", out,
+         "--port", str(port), "--workers", "2"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        deadline = time_mod.monotonic() + 120
+        while True:
+            try:
+                with urllib.request.urlopen(base + "/healthz",
+                                            timeout=5) as r:
+                    if json.loads(r.read())["ok"]:
+                        break
+            except Exception:
+                pass
+            assert time_mod.monotonic() < deadline, "server never up"
+            time_mod.sleep(0.5)
+
+        speech = os.path.join(str(tmp_path), "speech", "tiny_dev")
+        f = sorted(os.listdir(speech))[0]
+        x = np.load(os.path.join(speech, f))[:60]
+        oracle = serve.ArtifactServer(out).decode(
+            {"features": x.tolist(), "mode": "greedy"})["text"]
+        # enough sequential requests that (with kernel load balancing)
+        # both workers are very likely exercised; every answer must be
+        # identical regardless of which process served it
+        for _ in range(12):
+            status, got = _post(base + "/decode",
+                                {"features": x.tolist(),
+                                 "mode": "greedy"})
+            assert status == 200 and got["text"] == oracle
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=120)
+    assert rc == 0, proc.stdout.read().decode()[-500:]
