@@ -49,6 +49,17 @@ _EXTRAS_DEFAULTS = {
     "weight_noise_sigma": 0.0,
     # numerics: "float32" | "bfloat16" compute for matmul-heavy ops
     "compute_dtype": "float32",
+    # train-batch FEATURE dtype on the host->device wire ("float32" |
+    # "bfloat16" | "float16"); narrow halves the dominant transfer and
+    # is widened on device before any compute.  Not bit-exact vs f32 —
+    # explicit opt-in for transfer-bound hosts (see BASELINE.md round-4
+    # trainer measurements)
+    "transfer_dtype": "float32",
+    # threads assembling + staging train batches ahead of the step
+    # (order-preserving, bit-identical results at any value): >1
+    # overlaps host->device transfers, the measured bottleneck on
+    # remote/tunneled devices (BASELINE.md round 4)
+    "prefetch_workers": 2,
     # label smoothing epsilon for the train-path cross entropy
     # (models/seq2seq.py forward_loss); 0.0 = exact reference loss
     "label_smoothing": 0.0,

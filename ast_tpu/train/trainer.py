@@ -45,52 +45,108 @@ def _seed_to_int(seed):
 
 
 class Prefetcher:
-    """Pipeline host batch assembly behind device compute."""
+    """Pipeline host batch assembly + host->device staging behind
+    device compute.
 
-    def __init__(self, gen, prepare, depth=2):
-        self.q = queue.Queue(maxsize=depth)
-        self._sentinel = object()
+    ``workers`` > 1 runs ``prepare`` (assembly + ``device_put``) from
+    that many threads while yielding results in EXACT generator order —
+    the epoch's batch order (and so resume/determinism) is unchanged.
+    Parallel workers exist because host->device transfer is latency-
+    bound on tunneled/remote devices (BASELINE.md round 4: feeding, not
+    compute, is the whole 12x gap between the shipped trainer and its
+    device-resident ceiling); overlapping transfers fills the pipe.
+    The generator itself is pulled under a lock (generators are not
+    thread-safe); only ``prepare`` runs concurrently.
+    """
+
+    def __init__(self, gen, prepare, depth=2, workers=1):
         self._closed = False
+        self._err = None
+        self._buf = {}
+        self._next_read = 0        # next index to pull from gen
+        self._next_yield = 0       # next index the consumer gets
+        self._done_reading = False
+        self._cond = threading.Condition()
+        self._gen = iter(gen)
+        self._prepare = prepare
+        self._depth = max(int(depth), int(workers))
+        self.threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(max(1, int(workers)))]
+        for t in self.threads:
+            t.start()
 
-        def worker():
+    def _worker(self):
+        while True:
+            with self._cond:
+                while (not self._closed and not self._done_reading
+                       and (self._next_read - self._next_yield
+                            >= self._depth)):
+                    self._cond.wait()
+                if self._closed or self._done_reading:
+                    return
+                idx = self._next_read
+                try:
+                    item = next(self._gen)
+                except StopIteration:
+                    self._done_reading = True
+                    self._cond.notify_all()
+                    return
+                except BaseException as e:
+                    self._err = e
+                    self._done_reading = True
+                    self._cond.notify_all()
+                    return
+                self._next_read += 1
             try:
-                for item in gen:
-                    if self._closed:
-                        return
-                    self.q.put(prepare(item))
-                self.q.put(self._sentinel)
-            except BaseException as e:  # propagate to the consumer
-                self.q.put(e)
-
-        self.t = threading.Thread(target=worker, daemon=True)
-        self.t.start()
+                out = self._prepare(item)
+            except BaseException as e:
+                out = e
+            with self._cond:
+                self._buf[idx] = out
+                self._cond.notify_all()
 
     def __iter__(self):
         try:
             while True:
-                item = self.q.get()
-                if item is self._sentinel:
-                    return
+                with self._cond:
+                    while (self._next_yield not in self._buf
+                           and not (self._done_reading
+                                    and self._next_yield
+                                    >= self._next_read)
+                           and not self._closed):
+                        self._cond.wait()
+                    if self._closed:
+                        return
+                    if self._next_yield in self._buf:
+                        item = self._buf.pop(self._next_yield)
+                        self._next_yield += 1
+                        self._cond.notify_all()
+                    else:
+                        # stream drained; surface a generator error
+                        if self._err is not None:
+                            err, self._err = self._err, None
+                            raise err
+                        return
                 if isinstance(item, BaseException):
                     raise item
                 yield item
         finally:
             # consumer abandoned the stream (preemption, exception, or
-            # early break): unpark the worker so a long-lived embedding
-            # of NN doesn't accumulate a stuck thread + an unconsumed
+            # early break): unpark the workers so a long-lived embedding
+            # of NN doesn't accumulate stuck threads + an unconsumed
             # generator per aborted epoch
             self.close()
 
     def close(self):
-        """Drain the queue and let the worker exit at its next put."""
-        self._closed = True
-        while True:
-            try:
-                self.q.get_nowait()
-            except queue.Empty:
-                break
-        if self.t.is_alive():
-            self.t.join(timeout=1.0)
+        """Release the workers and drop anything buffered."""
+        with self._cond:
+            self._closed = True
+            self._buf.clear()
+            self._cond.notify_all()
+        for t in self.threads:
+            if t.is_alive():
+                t.join(timeout=1.0)
 
 
 class PreemptedError(RuntimeError):
@@ -159,6 +215,20 @@ class NN:
             if tcfg["extras"].get("compute_dtype") == "bfloat16"
             else jnp.float32
         )
+        # extras.transfer_dtype: ship train-batch FEATURES to the device
+        # narrow (bfloat16/float16) and widen on device — halves the
+        # dominant host->device traffic.  Off (float32, bit-exact) by
+        # default: CMVN'd features are ~N(0,1) where a 1-step rounding
+        # is harmless for training but is NOT bit-identical, so it is an
+        # explicit opt-in.  Feature mode only (wav audio is raw input;
+        # eval/decode paths always ship f32).
+        _tdt = tcfg["extras"].get("transfer_dtype", "float32")
+        if _tdt not in ("float32", "bfloat16", "float16"):
+            raise ValueError(
+                f"extras.transfer_dtype={_tdt!r}: use float32 | "
+                "bfloat16 | float16")
+        self.transfer_dtype = None if _tdt == "float32" else (
+            jnp.bfloat16 if _tdt == "bfloat16" else np.float16)
 
         # Pallas fused encoder/decoder: on by default on TPU (large step
         # speedups), scan path elsewhere; explicit config wins.  Both
@@ -334,6 +404,10 @@ class NN:
 
         def step(params, state, opt_state, X, y, n_real, key,
                  frame_len=None):
+            if not self.wav_mode and jnp.asarray(X).dtype != jnp.float32:
+                # extras.transfer_dtype: features crossed the wire
+                # narrow; widen on device before any compute
+                X = jnp.asarray(X).astype(jnp.float32)
             if featurize is not None:
                 X = featurize(X)
             if sa_cfg is not None:
@@ -435,12 +509,16 @@ class NN:
     # ------------------------------------------------------------------
     # epoch loops
     # ------------------------------------------------------------------
-    def _device_batch(self, batch, labels=True):
+    def _device_batch(self, batch, labels=True, narrow=False):
         if self.wav_mode:
             x_val = (batch["audio"], batch["cmvn_mean"],
                      batch["cmvn_std"])
         else:
             x_val = batch["X"]
+            if narrow and self.transfer_dtype is not None:
+                # extras.transfer_dtype: halve feature bytes on the
+                # wire; the train step widens on device
+                x_val = x_val.astype(self.transfer_dtype)
         out = {
             "X": x_val,
             "n_real": np.float32(batch["n_real"]),
@@ -463,13 +541,15 @@ class NN:
         single program exists anyway, and this avoids compiling a
         program per (bucket, run-length) pair."""
         if len(batches) < self.steps_per_dispatch:
-            return ("singles", [self._device_batch(b, True)
+            return ("singles", [self._device_batch(b, True, narrow=True)
                                 for b in batches])
         if self.wav_mode:
             xs = tuple(np.stack([b[k] for b in batches])
                        for k in ("audio", "cmvn_mean", "cmvn_std"))
         else:
             xs = np.stack([b["X"] for b in batches])
+            if self.transfer_dtype is not None:
+                xs = xs.astype(self.transfer_dtype)
         out = {
             "X": xs,
             "y": np.stack([b["y"] for b in batches]),
@@ -578,9 +658,13 @@ class NN:
             losses.append(loss)
             sizes.append(max(1, len(batch["utts"])))
 
+        pf_workers = max(1, int(tcfg["extras"].get("prefetch_workers",
+                                                   2)))
         if G > 1:
             prefetch = Prefetcher(_group_stream(gen, G),
-                                  self._device_group)
+                                  self._device_group,
+                                  depth=2 * pf_workers,
+                                  workers=pf_workers)
             for kind, payload in prefetch:
                 if kind == "multi":
                     p, s, o, loss_vec = self._train_multi_step(
@@ -597,8 +681,9 @@ class NN:
                         consumed += 1
                 maybe_snapshot()
         else:
-            prefetch = Prefetcher(gen,
-                                  lambda b: self._device_batch(b, True))
+            prefetch = Prefetcher(
+                gen, lambda b: self._device_batch(b, True, narrow=True),
+                depth=2 * pf_workers, workers=pf_workers)
             for batch in prefetch:
                 run_single(batch)
                 consumed += 1

@@ -110,7 +110,8 @@ def build_corpus(root, log=print):
     return n_total
 
 
-def write_configs(root, batch, g):
+def write_configs(root, batch, g, transfer_dtype="float32",
+                  prefetch_workers=2):
     from __graft_entry__ import FLAGSHIP_MCFG
 
     exp = os.path.join(root, "exp")
@@ -123,6 +124,8 @@ def write_configs(root, batch, g):
         "extras": {"random_out": 0, "speech_noise": 0.25,
                    "teach_ratio": 0.8,
                    "compute_dtype": "bfloat16",
+                   "transfer_dtype": transfer_dtype,
+                   "prefetch_workers": prefetch_workers,
                    "steps_per_dispatch": g},
         "data": {
             "enc_key": "sp", "dec_key": "en_w",
@@ -158,6 +161,11 @@ def main():
     ap.add_argument("--pack", action="store_true",
                     help="serve features from an mmap pack instead of "
                          "per-utt .npy files")
+    ap.add_argument("--transfer-dtype", default="float32",
+                    dest="transfer_dtype",
+                    choices=["float32", "bfloat16", "float16"])
+    ap.add_argument("--workers", type=int, default=2,
+                    help="extras.prefetch_workers")
     ap.add_argument("--skip-model", action="store_true",
                     help="skip the bench.py epoch-model comparison run")
     args = ap.parse_args()
@@ -171,7 +179,11 @@ def main():
             if not os.path.exists(out):
                 pack_features(d, out)
                 print(f"packed {s}")
-    exp = write_configs(args.root, args.batch, args.g)
+    exp = write_configs(args.root, args.batch, args.g,
+                        transfer_dtype=args.transfer_dtype,
+                        prefetch_workers=args.workers)
+    print(f"transfer_dtype={args.transfer_dtype} "
+          f"prefetch_workers={args.workers}", flush=True)
 
     import jax
     from ast_tpu.train.trainer import NN

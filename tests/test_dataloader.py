@@ -122,3 +122,58 @@ def test_tail_shrink_batches(tiny_exp):
         np.testing.assert_array_equal(p["y"][:p["n_real"]],
                                       s["y"][:s["n_real"]])
     assert saw_shrunk, "fixture produced no partial tail batch"
+
+
+def test_prefetcher_multiworker_order_and_errors():
+    """The parallel Prefetcher yields in exact generator order at any
+    worker count, propagates prepare errors at the failing item's
+    position, and surfaces generator errors after the good prefix."""
+    import time as _t
+
+    from ast_tpu.train.trainer import Prefetcher
+
+    def gen(n):
+        for i in range(n):
+            yield i
+
+    def slow_prepare(i):
+        _t.sleep(0.002 * ((i * 7) % 5))  # jittered: forces reordering
+        return i * 10
+
+    for workers in (1, 2, 4):
+        out = list(Prefetcher(gen(40), slow_prepare, depth=4,
+                              workers=workers))
+        assert out == [i * 10 for i in range(40)], workers
+
+    # prepare error at item 5 arrives at position 5
+    def bad_prepare(i):
+        if i == 5:
+            raise RuntimeError("boom5")
+        return i
+
+    got = []
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom5"):
+        for v in Prefetcher(gen(10), bad_prepare, workers=3):
+            got.append(v)
+    assert got == [0, 1, 2, 3, 4]
+
+    # generator error after a good prefix
+    def bad_gen():
+        yield 0
+        yield 1
+        raise ValueError("genboom")
+
+    got = []
+    with _pytest.raises(ValueError, match="genboom"):
+        for v in Prefetcher(bad_gen(), lambda x: x, workers=2):
+            got.append(v)
+    assert got == [0, 1]
+
+    # early consumer abandonment doesn't hang or leak
+    p = Prefetcher(gen(100), slow_prepare, depth=4, workers=3)
+    for i, v in enumerate(p):
+        if i == 3:
+            break
+    p.close()
+    assert all(not t.is_alive() for t in p.threads)

@@ -195,3 +195,41 @@ def test_label_smoothing_wired(tmp_path):
     assert any(
         not np.allclose(np.asarray(a), np.asarray(b))
         for a, b in zip(leaves0, leavess))
+
+
+def test_transfer_dtype_narrow_wire(tmp_path):
+    """extras.transfer_dtype=float16: features cross the wire narrow,
+    the step widens on device — training works and one step lands
+    within rounding distance of the f32-wire step."""
+    import jax
+    import jax.numpy as jnp
+
+    def copy(t):
+        return jax.tree.map(jnp.array, t)
+
+    nns = {}
+    for name, dt in [("f32", "float32"), ("f16", "float16")]:
+        exp = make_tiny_experiment(
+            os.path.join(str(tmp_path), name), n_train=8, n_dev=4,
+            batch_size=4, extras={"transfer_dtype": dt})
+        nns[name] = NN(exp)
+    n0, n1 = nns["f32"], nns["f16"]
+    batch = next(n0.data_loader.get_batch(
+        4, "tiny_train", train=True, labels=True, epoch=0))
+    db0 = n0._device_batch(batch, True, narrow=True)
+    db1 = n1._device_batch(batch, True, narrow=True)
+    assert np.asarray(db1["X"]).dtype == np.float16
+    assert np.asarray(db0["X"]).dtype == np.float32
+    key = jax.random.PRNGKey(5)
+    _, _, _, l0 = n0._train_step(
+        copy(n0.params), copy(n0.state), copy(n0.opt_state),
+        db0["X"], db0["y"], db0["n_real"], key, 0)
+    _, _, _, l1 = n1._train_step(
+        copy(n1.params), copy(n1.state), copy(n1.opt_state),
+        db1["X"], db1["y"], db1["n_real"], key, 0)
+    assert np.isfinite(float(l1))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-2)
+    # bad value rejected loudly
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        NN(make_tiny_experiment(os.path.join(str(tmp_path), "bad"),
+                                extras={"transfer_dtype": "int8"}))
