@@ -7,6 +7,14 @@ For each width: the fused chunk the VMEM model picks, throughput of
 both paths, and a token/score exactness cross-check (fused == XLA on
 the same inputs) — the widths above 5 were previously dark.
 
+NOTE on the exactness column: at stop=175 over RANDOM-init weights the
+beam degenerates into hundreds of near-tied scores (every slot within
+1e-3 of every other), where a single bf16 ulp between two correct
+implementations flips the top-k ordering — expect exact=False here and
+use scripts/decode_exactness_ab.py (decisive logits, short stop,
+tie-aware comparison, top-1 asserted identical) as the correctness
+harness; this script's job is throughput.
+
 Usage: python scripts/bench_beam_width.py [B] [n_iters]
 """
 
