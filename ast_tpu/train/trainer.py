@@ -658,8 +658,13 @@ class NN:
             losses.append(loss)
             sizes.append(max(1, len(batch["utts"])))
 
-        pf_workers = max(1, int(tcfg["extras"].get("prefetch_workers",
-                                                   2)))
+        # multi-process SPMD: replicated device_put runs a cross-process
+        # equality collective, so every process must issue its puts in
+        # the SAME order — parallel prepare would interleave batches
+        # differently per host and pair mismatched collectives (caught
+        # by test_multihost_mp).  One worker preserves the global order.
+        pf_workers = 1 if jax.process_count() > 1 else max(
+            1, int(tcfg["extras"].get("prefetch_workers", 2)))
         if G > 1:
             prefetch = Prefetcher(_group_stream(gen, G),
                                   self._device_group,
