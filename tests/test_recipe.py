@@ -141,3 +141,49 @@ def test_recipe_experiment_trains_and_decodes(recipe_exp):
     assert bleu >= 0
     assert os.path.exists(
         os.path.join(recipe_exp, "dev_beam_N-2_K-2_W-0.60.en"))
+
+
+@pytest.fixture(scope="module")
+def recipe_exp_wav(raw_tree, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("exp_out_wav"))
+    mc = os.path.join(out, "tiny_model.json")
+    with open(mc, "w") as f:
+        json.dump(TINY_MODEL_CFG, f)
+    import ast_tpu.cli.prep_data as prep
+    prep.main([
+        "fisher-recipe", "--wav",
+        "--audio_dir", str(raw_tree / "audio"),
+        "--segments", str(raw_tree / "segments"),
+        "--text_dir", str(raw_tree / "text"),
+        "--out", out,
+        "--channel-map", str(raw_tree / "channel_map"),
+        "--merges", "30", "--buckets_num", "4", "--buckets_width", "50",
+        "--batch_size", "4", "--model_cfg", mc,
+    ])
+    return os.path.join(out, "exp")
+
+
+def test_recipe_wav_mode_trains(recipe_exp_wav):
+    """--wav: raw audio + cmvn.stats ship; MFCC runs inside the jitted
+    step; the experiment trains and greedy-decodes end to end."""
+    out = os.path.dirname(recipe_exp_wav)
+    cfg = json.load(open(os.path.join(recipe_exp_wav,
+                                      "train_cfg.json")))
+    assert cfg["data"]["features"] == "wav"
+    # audio (1-D) not features (2-D) on disk, stats pickle present
+    u = sorted(os.listdir(os.path.join(out, "speech", "train")))[0]
+    x = np.load(os.path.join(out, "speech", "train", u))
+    assert x.ndim == 1
+    assert os.path.exists(os.path.join(out, "speech", "cmvn.stats"))
+    stats = pickle.load(open(os.path.join(out, "speech", "cmvn.stats"),
+                             "rb"))
+    assert stats["stats"] and stats["utt2spk"]
+
+    import ast_tpu.cli.train as train_cli
+    from ast_tpu.train.trainer import NN
+    train_cli.main(["-m", recipe_exp_wav, "-e", "1"])
+    assert os.path.exists(os.path.join(recipe_exp_wav,
+                                       "seq2seq_1.model.npz"))
+    nn = NN(recipe_exp_wav)
+    preds = nn.predict("dev")
+    assert len(preds) == nn.data_loader.n_utts["dev"]
