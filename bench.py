@@ -509,8 +509,12 @@ def main():
     # B=128 (throughput configuration — the kernels batch-chunk to fit
     # VMEM); the headline is the best fused config, with its same-batch
     # jitted-scan baseline as the honest ratio.
+    # B256_G4 replaced B32_G8 in round 4: a same-session interleaved
+    # probe (scripts: /tmp pattern recorded in BASELINE.md) had B256
+    # beating B128 by ~2% in 6/8 rounds (best 7,247 vs 7,092) while
+    # B32_G8 never led; keeps the compile budget flat at 4 specs
     specs = {"B32": (32, 1), "B128": (128, 1),
-             "B32_G8": (32, 8), "B128_G4": (128, 4)}
+             "B256_G4": (256, 4), "B128_G4": (128, 4)}
     fused_rounds = {}
     round_times = {}
     scan_best = {}
