@@ -99,10 +99,6 @@ V2LPC_QOFFSET = 1 << LPCQUANT   # v2 rounding offset inside QLPC sums
 DEFAULT_BLOCK_SIZE = 256
 NWRAP = 3
 
-_SIGNED_TYPES = (TYPE_S8, TYPE_S16HL, TYPE_S16LH,
-                 TYPE_AU1, TYPE_AU2, TYPE_ULAW, TYPE_AU3, TYPE_ALAW)
-
-
 # ---------------------------------------------------------------------------
 # ulaw / alaw maps (bijections between the 256 codes and integers)
 # ---------------------------------------------------------------------------
@@ -142,23 +138,6 @@ def _sign_mag_inward_table():
 _ULAW_EXPAND = _ulaw_expand_table()
 _ALAW_EXPAND = _alaw_expand_table()
 _SIGNMAG_IN = _sign_mag_inward_table()
-
-
-def _invert_map(values):
-    """Exact inverse lookup {internal value -> code byte}."""
-    return {int(v): int(b) for b, v in enumerate(values)}
-
-
-_ULAW_INV = _invert_map(_ULAW_EXPAND)
-_ALAW_INV = _invert_map(_ALAW_EXPAND)
-_SIGNMAG_INV = _invert_map(_SIGNMAG_IN)
-
-
-def _nearest_inverse(values):
-    """code byte for the nearest internal value (for foreign streams
-    whose residual arithmetic lands off-grid after clamping)."""
-    order = np.argsort(values, kind="stable")
-    return values[order], order
 
 
 # ---------------------------------------------------------------------------
