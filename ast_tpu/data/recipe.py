@@ -184,6 +184,11 @@ def fisher_recipe(audio_dir, segments, text_dir, out,
         with open(os.path.join(speech_root, "cmvn.stats"), "wb") as fh:
             pickle.dump({"utt2spk": all_utt2spk, "stats": all_stats},
                         fh)
+    # the staging dir was consumed (features written / audio moved);
+    # don't leave a second copy of the corpus on disk (at 160 h that
+    # doubles storage)
+    import shutil
+    shutil.rmtree(utt_audio, ignore_errors=True)
     if missing:
         msg = (f"{len(missing)} utterances in ids files have no "
                f"extracted audio (first: {missing[:5]})")
