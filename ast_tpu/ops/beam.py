@@ -47,6 +47,17 @@ def make_beam_decoder(mcfg, N, K, stop_limit, compute_dtype=jnp.float32,
     process materializes the full beams (multi-host SPMD decode, same
     contract as dp.shard_eval_step).
     """
+    V = mcfg["rnn_config"]["dec_vocab_size"]
+    if K > V:
+        # lax.top_k(logp, K) needs K candidates per row; surface the
+        # actual constraint instead of an XLA shape error (the
+        # reference would IndexError similarly — beam.py's -k is only
+        # meaningful up to the vocabulary size)
+        raise ValueError(
+            f"beam width K={K} exceeds the decoder vocabulary "
+            f"({V} tokens) — at most V continuations exist per step")
+    if N < 1 or K < 1:
+        raise ValueError(f"beam sizes must be >= 1 (got N={N}, K={K})")
     max_len = stop_limit + 1
 
     def fused_chunk(B, T, H):

@@ -128,3 +128,20 @@ def test_beam_attn_matches_greedy_alphas(model):
                                    rtol=2e-4, atol=1e-6)
         word = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         np.testing.assert_array_equal(int(word[0]), hyps[0, 0, t])
+
+
+def test_beam_width_beyond_vocab_rejected():
+    """K > vocab can't produce K continuations per step: clear error
+    instead of an XLA top_k shape failure."""
+    import pytest as _pytest
+
+    from ast_tpu.ops import beam as beam_ops
+    from tests.conftest import TINY_MODEL_CFG
+    import jax
+
+    mcfg = jax.tree.map(lambda x: x, TINY_MODEL_CFG)
+    mcfg["rnn_config"] = dict(mcfg["rnn_config"], dec_vocab_size=12)
+    with _pytest.raises(ValueError, match="vocabulary"):
+        beam_ops.make_beam_decoder(mcfg, N=16, K=16, stop_limit=8)
+    with _pytest.raises(ValueError, match=">= 1"):
+        beam_ops.make_beam_decoder(mcfg, N=0, K=1, stop_limit=8)
