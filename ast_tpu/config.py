@@ -30,6 +30,9 @@ _RNN_DEFAULTS = {
     "feed_attn": True,
     "linear_proj": False,
     "ln": False,
+    # legacy enc_dec.py knob: ReLU on every LSTM layer output in both
+    # encoder and decoder (reference: enc_dec.py:282-283, 288, 304)
+    "rnn_relu": False,
 }
 
 # Optional train_cfg knobs -> defaults. `weight_noise` / `curriculum` /

@@ -261,6 +261,7 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
     # Mosaic kernel (see ast_tpu.ops.fused_lstm); fall back to lax.scan
     # when disabled or when the variant doesn't apply (LayerNorm).
     use_ln = rnn.get("ln", False)
+    use_relu = rnn.get("rnn_relu", False)
     from ast_tpu.ops.fused_lstm import fused_chunk_size
     interp = bool(rnn.get("fused_interpret", False))
     # data-parallel sharding of the kernel: each device runs its local
@@ -272,7 +273,8 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
         2 if compute_dtype != jnp.float32 else 4)
     if chunk <= 0 and interp:
         chunk = B_loc  # interpret-mode tests bypass the alignment gate
-    use_fused = rnn.get("fused_encoder", False) and not use_ln and chunk > 0
+    use_fused = (rnn.get("fused_encoder", False) and not use_ln
+                 and not use_relu and chunk > 0)
     if use_fused:
         from ast_tpu.ops.fused_lstm import (
             fused_stacked_lstm, pack_encoder_weights)
@@ -343,6 +345,11 @@ def encode(params, state, mcfg, X, key, train, add_noise=0.0,
                     ln = params["enc"]["ln"][l]
                     x = _layernorm(x, ln["g"][:, None, :],
                                    ln["b"][:, None, :])
+                if use_relu:
+                    # legacy rnn_relu knob: ReLU on every LSTM layer's
+                    # output, after dropout+LN (reference:
+                    # enc_dec.py:282-283, feed_rnn order)
+                    x = jnp.maximum(x, 0.0)
                 new_h.append(h_new)
                 new_c.append(c_new)
             return (jnp.stack(new_h), jnp.stack(new_c)), x
@@ -478,6 +485,10 @@ def decode_step(params, mcfg, enc_states, carry, token, key, train,
         if rnn.get("ln", False):
             ln = params["dec"]["ln"][l]
             x = _layernorm(x, ln["g"], ln["b"])
+        if rnn.get("rnn_relu", False):
+            # legacy knob: feed_rnn serves the decoder too (reference:
+            # enc_dec.py:304), so rnn_relu applies here as well
+            x = jnp.maximum(x, 0.0)
         new_h.append(h_new)
         new_c.append(c_new)
 
@@ -641,7 +652,8 @@ def _use_fused_decoder(mcfg, params, enc_states, y, compute_dtype,
     if not rnn.get("fused_decoder", False) or enc_mask is not None:
         return False
     if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
-            or rnn.get("ln", False) or mcfg["dropout"].get("out", 0) > 0
+            or rnn.get("ln", False) or rnn.get("rnn_relu", False)
+            or mcfg["dropout"].get("out", 0) > 0
             or rnn.get("attn_block_size", 0)):
         return False
     if rnn.get("fused_interpret", False):

@@ -123,7 +123,7 @@ def infer_variant_ok(mcfg, enc_mask=None):
     if not rnn.get("fused_infer", True):
         return False  # explicit off-switch for the inference kernels
     if (rnn.get("n_attn", 1) != 1 or not rnn.get("feed_attn", True)
-            or rnn.get("ln", False)
+            or rnn.get("ln", False) or rnn.get("rnn_relu", False)
             or rnn.get("attn_block_size", 0)):
         return False
     return True

@@ -135,6 +135,11 @@ class ReferenceOracle:
         hs = rnn_in
         for link in rnn_layers:
             hs = link(hs)  # dropout rate 0 in deterministic paths
+            if self.rnn_cfg.get("rnn_relu", False):
+                # legacy rnn_relu: ReLU on every LSTM layer's output
+                # (reference: enc_dec.py:282-283); feed_rnn serves both
+                # encoder and decoder (enc_dec.py:288, 304)
+                hs = np.maximum(hs, 0.0)
         return hs
 
     def forward_rnn_encode(self, X, rev_quirk):

@@ -175,6 +175,25 @@ def test_multi_attention_matches_oracle():
     _oracle_agree(mcfg, params, state, X, y)
 
 
+def test_rnn_relu_matches_oracle():
+    """rnn_relu: ReLU on every encoder AND decoder LSTM layer output
+    (reference: enc_dec.py:282-283; feed_rnn serves both stacks,
+    enc_dec.py:288, 304).  Decoder-init states stay pre-ReLU (raw LSTM
+    h/c, enc_dec.py:216-221)."""
+    def edit(m):
+        m["rnn_config"]["rnn_relu"] = True
+    mcfg, params, state, X, y = _setup_variant(edit)
+    _oracle_agree(mcfg, params, state, X, y)
+    # the knob must actually change the computation
+    m2 = copy.deepcopy(mcfg)
+    m2["rnn_config"]["rnn_relu"] = False
+    l_on, _ = seq2seq.forward_loss(
+        params, state, mcfg, X, y, jax.random.PRNGKey(0), train=False)
+    l_off, _ = seq2seq.forward_loss(
+        params, state, m2, X, y, jax.random.PRNGKey(0), train=False)
+    assert abs(float(l_on) - float(l_off)) > 1e-6
+
+
 def test_text_encoder_mode_matches_oracle():
     """Text-encoder mode: source-token embedding feeding the same
     CNN+RNN stack (reference: enc_dec.py:162-164, 517-525)."""

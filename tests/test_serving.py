@@ -161,11 +161,18 @@ def test_quantize_params_error_bound_and_roundtrip(tmp_path):
         deq, state, serving._portable_mcfg(mcfg), X, stop)
     np.testing.assert_array_equal(np.asarray(preds), np.asarray(ref_preds))
 
-    # the int8 constants make the artifact materially smaller
+    # the int8 constants make the artifact materially smaller.  Assert
+    # on the absolute byte saving vs the number of quantized weight
+    # elements (f32 -> int8 saves 3 B/elem minus per-channel scales),
+    # not a whole-artifact ratio: on a tiny model the fixed StableHLO
+    # module overhead dominates and makes any ratio threshold brittle.
+    n_q_elems = sum(
+        np.asarray(x[serving._Q8_KEY]).size for x in jax.tree.leaves(
+            q, is_leaf=_is_q8) if _is_q8(x))
     fexp = serving.export_greedy(params, state, mcfg, B, T, stop,
                                  platforms=("cpu",))
     fbytes = serving.save_artifact(fexp, str(tmp_path / "greedy_f32.jaxexp"))
-    assert qbytes < 0.55 * fbytes, (qbytes, fbytes)
+    assert fbytes - qbytes >= 2.5 * n_q_elems, (qbytes, fbytes, n_q_elems)
 
 
 def test_export_cli_quantize(tmp_path):
