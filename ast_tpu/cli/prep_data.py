@@ -6,6 +6,10 @@ Kaldi binaries + kaldi_io.py + prep_speech_segments.py + preprocess_gp.py
 stripped data blobs (fisher.map / *.info — .MISSING_LARGE_BLOBS) are
 regenerable end to end:
 
+  tdf-to-text      raw LDC .tdf transcripts -> per-set .ids/.clean.text
+                   + segments + channel_map (fsp_make_trans.pl +
+                   fsp_data_prep.sh stage 2 + get_clean-text_ids.sh)
+  clean-text       'utt words' text -> aligned .ids + .clean.text
   ark-to-conv      text ark -> per-conversation .np pickles (C++ fast path)
   extract-segments Kaldi segments table + conversation audio -> per-utt audio
   merge-segments   conversation pickles + segment lists -> per-utt .npy
@@ -281,6 +285,10 @@ def cmd_fisher_recipe(args):
     the same stages through Kaldi + sph2pipe; every stage here is
     in-repo — see ast_tpu/data/recipe.py)."""
     from ast_tpu.data.recipe import fisher_recipe
+    if args.tdf_dir is None and (args.segments is None
+                                 or args.text_dir is None):
+        sys.exit("error: pass --segments + --text_dir (pre-cleaned "
+                 "text) or --tdf_dir (raw LDC transcripts)")
     exp = fisher_recipe(
         audio_dir=args.audio_dir, segments=args.segments,
         text_dir=args.text_dir, out=args.out,
@@ -290,8 +298,42 @@ def cmd_fisher_recipe(args):
         buckets_width=args.buckets_width, wav_mode=args.wav,
         model_cfg=args.model_cfg, batch_size=args.batch_size,
         seed=args.seed, rate=args.rate,
-        allow_missing=args.allow_missing)
+        allow_missing=args.allow_missing, tdf_dir=args.tdf_dir,
+        splits=args.splits, dev_fraction=args.dev_fraction,
+        translations=args.translations)
     print(f"experiment ready: python train.py -m {exp} -e <epochs>")
+
+
+def cmd_tdf_to_text(args):
+    """Raw LDC .tdf transcripts -> per-set .ids/.clean.text + segments
+    + channel_map (reference: fsp_make_trans.pl + fsp_data_prep.sh
+    stage 2 + get_clean-text_ids.sh, reimplemented in
+    data/transcripts.py)."""
+    from ast_tpu.data.transcripts import prepare_fisher_text
+    res = prepare_fisher_text(
+        args.tdf_dir, args.out_dir, splits=args.splits,
+        sets=tuple(args.sets.split(",")) if args.sets else None,
+        dev_fraction=args.dev_fraction, seed=args.seed,
+        translations=args.translations)
+    for k, v in sorted(res["counts"].items()):
+        print(f"{k}: {v} utterances")
+    print(f"text tree ready in {res['text_dir']}")
+
+
+def cmd_clean_text(args):
+    """Kaldi-style `utt words...` text file -> aligned .ids +
+    .clean.text pair (reference: get_clean-text_ids.sh:10-21 — label
+    split, [bracket] annotation strip, punctuation strip)."""
+    from ast_tpu.data.transcripts import clean_text_ids
+    with open(args.text, encoding="utf-8") as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    ids, cleans = clean_text_ids(lines)
+    base = args.out or args.text.rsplit(".", 1)[0]
+    with open(base + ".ids", "w") as f:
+        f.write("\n".join(ids) + ("\n" if ids else ""))
+    with open(base + ".clean.text", "w", encoding="utf-8") as f:
+        f.write("\n".join(cleans) + ("\n" if cleans else ""))
+    print(f"wrote {base}.ids + {base}.clean.text ({len(ids)} lines)")
 
 
 def main(argv=None):
@@ -305,11 +347,33 @@ def main(argv=None):
              "-> cmvn -> bpe -> dicts -> refs -> configs -> validate)")
     p.add_argument("--audio_dir", required=True,
                    help="directory of <reco>.sph|.wav|.npy (embedded-"
-                        "shorten SPHERE decodes natively)")
-    p.add_argument("--segments", required=True,
-                   help="Kaldi segments file: utt reco start end")
-    p.add_argument("--text_dir", required=True,
-                   help="directory of <set>.ids + <set>.clean.text")
+                        "shorten SPHERE decodes natively; reco "
+                        "'<call>-A/-B' falls back to 2-channel "
+                        "<call>.sph sides)")
+    p.add_argument("--segments", default=None,
+                   help="Kaldi segments file: utt reco start end "
+                        "(omit with --tdf_dir: derived from the raw "
+                        "transcripts)")
+    p.add_argument("--text_dir", default=None,
+                   help="directory of <set>.ids + <set>.clean.text "
+                        "(omit with --tdf_dir)")
+    p.add_argument("--tdf_dir", default=None,
+                   help="stage 0: directory of raw LDC .tdf "
+                        "transcript tables; segments/text/channel_map "
+                        "are derived in-repo (fsp_make_trans.pl + "
+                        "fsp_data_prep.sh stage-2 + "
+                        "get_clean-text_ids.sh semantics)")
+    p.add_argument("--splits", default=None,
+                   help="with --tdf_dir: directory of <set> files "
+                        "listing call ids (reference local/splits "
+                        "layout); default: hash split by "
+                        "--dev-fraction")
+    p.add_argument("--dev-fraction", dest="dev_fraction", type=float,
+                   default=0.1)
+    p.add_argument("--translations", default=None,
+                   help="with --tdf_dir: 'utt<TAB>target text' file "
+                        "supplying the translation side (AST); "
+                        "default: cleaned source transcript (ASR)")
     p.add_argument("--out", required=True, help="output tree root")
     p.add_argument("--sets", default="train,dev",
                    help="comma list; first is the train set")
@@ -331,6 +395,33 @@ def main(argv=None):
                    help="model_cfg.json to copy (default: flagship)")
     p.add_argument("--allow-missing", action="store_true")
     p.set_defaults(fn=cmd_fisher_recipe)
+
+    p = sub.add_parser(
+        "tdf-to-text",
+        help="raw LDC .tdf transcripts -> per-set .ids/.clean.text + "
+             "segments + channel_map (fsp_make_trans.pl + stage-2 + "
+             "get_clean-text_ids.sh semantics, in-repo)")
+    p.add_argument("tdf_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--splits", default=None,
+                   help="directory of <set> files listing call ids")
+    p.add_argument("--sets", default=None,
+                   help="comma list restricting which split files load")
+    p.add_argument("--dev-fraction", dest="dev_fraction", type=float,
+                   default=0.1)
+    p.add_argument("--seed", default="fisher-text")
+    p.add_argument("--translations", default=None)
+    p.set_defaults(fn=cmd_tdf_to_text)
+
+    p = sub.add_parser(
+        "clean-text",
+        help="'utt words' text -> aligned .ids + .clean.text "
+             "(get_clean-text_ids.sh semantics)")
+    p.add_argument("text")
+    p.add_argument("--out", default=None,
+                   help="output basename (default: text path minus "
+                        "extension)")
+    p.set_defaults(fn=cmd_clean_text)
 
     p = sub.add_parser("ark-to-conv")
     p.add_argument("ark")

@@ -24,6 +24,13 @@ to a complete experiment tree:
     <out>/exp/{train_cfg,model_cfg}.json   ready for train.py / beam.py
 
 Stages (all in-repo, zero external tools):
+  0. tdf-to-text        OPTIONAL (``tdf_dir=``): raw LDC ``.tdf``
+                        transcript tables -> per-set .ids/.clean.text
+                        + segments + channel_map (data/transcripts.py
+                        — fsp_make_trans.pl + fsp_data_prep.sh stage 2
+                        + get_clean-text_ids.sh semantics); with this,
+                        the recipe input is raw tapes + raw
+                        transcripts only
   1. extract-segments   slice conversations to per-utt audio
                         (wav_loader.extract_segments; shorten decode
                         is native via ast_tpu/native/shorten_dec.cc)
@@ -70,12 +77,13 @@ def _read_lines(path):
         return [line.rstrip("\n") for line in f]
 
 
-def fisher_recipe(audio_dir, segments, text_dir, out,
+def fisher_recipe(audio_dir, segments=None, text_dir=None, out=None,
                   sets=("train", "dev"), channel_map=None, utt2spk=None,
                   bpe_merges=1000, buckets_num=20, buckets_width=80,
                   wav_mode=False, model_cfg=None, batch_size=32,
                   seed="fisher-recipe", max_pred=None, rate=8000,
-                  allow_missing=False, log=print):
+                  allow_missing=False, tdf_dir=None, splits=None,
+                  dev_fraction=0.1, translations=None, log=print):
     """Run the full raw-tree -> experiment pipeline.  Returns the
     experiment directory (pass it to ``train.py -m``).
 
@@ -87,6 +95,19 @@ def fisher_recipe(audio_dir, segments, text_dir, out,
     is one speaker).  ``wav_mode``: ship raw audio + cmvn.stats and let
     the jitted train step compute MFCC on device (data.features="wav")
     instead of materializing feature files.
+
+    ``tdf_dir``: stage 0 — raw LDC ``.tdf`` transcript tables.  When
+    given, ``segments``/``text_dir``/``channel_map`` are DERIVED
+    in-repo (data/transcripts.py reimplements the reference's
+    fsp_make_trans.pl + fsp_data_prep.sh stage 2 +
+    get_clean-text_ids.sh chain) instead of being required inputs, so
+    the recipe truly starts from raw tapes + raw transcripts.
+    ``splits``: conversation-level split spec for stage 0 ({set:
+    call_ids} or a directory of ``<set>`` call-id list files, the
+    reference's local/splits layout); default: deterministic hash
+    split by ``dev_fraction``.  ``translations``: optional {utt: text}
+    or ``utt<TAB>text`` file giving the target side (AST); default
+    trains on the cleaned source transcript (ASR).
     """
     from ast_tpu.data.preprocess import prepare_corpus
     from ast_tpu.data.wav_loader import extract_segments
@@ -94,6 +115,23 @@ def fisher_recipe(audio_dir, segments, text_dir, out,
                                    compute_cmvn_stats, num_frames)
 
     os.makedirs(out, exist_ok=True)
+    if tdf_dir is not None:
+        from ast_tpu.data.transcripts import prepare_fisher_text
+        derived = prepare_fisher_text(
+            tdf_dir, os.path.join(out, "text"), splits=splits,
+            sets=tuple(sets) if splits is not None else None,
+            dev_fraction=dev_fraction, seed=str(seed),
+            translations=translations, log=log)
+        segments = derived["segments"]
+        text_dir = derived["text_dir"]
+        if channel_map is None:
+            channel_map = derived["channel_map"]
+        if splits is None:
+            sets = ("train", "dev")
+    if segments is None or text_dir is None:
+        raise ValueError(
+            "fisher_recipe needs segments+text_dir (pre-cleaned text) "
+            "or tdf_dir (raw transcripts, stage 0 derives them)")
     speech_root = os.path.join(out, "speech")
     data_dir = os.path.join(out, "data")
     exp_dir = os.path.join(out, "exp")

@@ -220,6 +220,17 @@ def extract_segments(segments_path, audio_dir, out_dir,
             if os.path.exists(cand):
                 path = cand
                 break
+        if path is None and reco[-2:] in ("-A", "-B"):
+            # Fisher convention: reco "{call}-{A|B}" is side A/B of the
+            # 2-channel tape "{call}.sph" (the reference's wav.scp maps
+            # side A -> sph2pipe -c 1, B -> -c 2; fsp_data_prep.sh:165)
+            for ext in (".sph", ".wav", ".npy"):
+                cand = os.path.join(audio_dir, reco[:-2] + ext)
+                if os.path.exists(cand):
+                    path = cand
+                    if chan is None:
+                        chan = 0 if reco.endswith("-A") else 1
+                    break
         if path is None:
             if allow_missing:
                 print(f"extract-segments: no audio for reco {reco} "
