@@ -89,6 +89,15 @@ _EXTRAS_DEFAULTS = {
     # than cold on this image's tunneled TPU (see
     # utils/compile_cache.py).  Env AST_TPU_COMPILE_CACHE wins.
     "compile_cache": False,
+    # upload each bucket's padded feature matrix to HBM once and gather
+    # train batches on device (data/device_cache.py) — per-batch wire
+    # traffic drops from the feature block to indices+mask+targets.
+    # Bit-identical losses to host feeding (f32 cache).  Precomputed-
+    # feature mode only; a 20h Fisher split is ~375 MB f32.
+    "hbm_cache": False,
+    # "bfloat16" halves the cache's HBM (one rounding at upload — NOT
+    # bit-exact vs host feeding; explicit opt-in like transfer_dtype)
+    "hbm_cache_dtype": "float32",
     # decode dispatches kept in flight during predict/decode_beam_set:
     # materializing a batch blocks until it finishes, so depth 1 parks
     # the device through the host's hyp postprocess; depth 2 overlaps

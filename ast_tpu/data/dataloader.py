@@ -180,7 +180,8 @@ class DataLoader:
 
     def get_batch(self, batch_size, set_key, train, labels=False,
                   pad_batch=True, curriculum=False, epoch=None,
-                  group_runs=1, tail_shrink=0, _skip_speech=False):
+                  group_runs=1, tail_shrink=0, _skip_speech=False,
+                  index_cache=None):
         """Generator of statically-shaped batch dicts.
 
         Yields {"X": (B,T,D) f32, "y": (B,U) i32 [labels], "utts": [ids],
@@ -203,6 +204,15 @@ class DataLoader:
         batches share a static shape.  The regrouping is a permutation of
         the shuffled order and is itself part of the deterministic epoch
         stream, keeping prefix-based crash resume exact.
+
+        ``index_cache`` (optional): an
+        :class:`ast_tpu.data.device_cache.EpochFeatureCache` for this
+        split.  Batches then carry ``rows_idx`` (B,) int32 cache-row
+        indices and ``drop_mask`` (B, T) uint8 instead of the feature
+        block ``X`` — the trainer gathers features out of HBM on
+        device.  The frame-dropout RNG draws are IDENTICAL to the
+        host-assembly path (same stream, same counts), so the resulting
+        on-device X is bit-identical to host-fed batches.
 
         ``tail_shrink`` (optional, >0 = min_rows): pad each bucket's
         LAST partial batch to the smallest repeated-half of the bucket
@@ -256,10 +266,30 @@ class DataLoader:
             # (a last-nonzero heuristic would undercount) and in wav mode
             # (where it couldn't be inferred from features at all)
             frame_len = np.zeros((B,), dtype=np.int32)
+            rows_idx = drop_mask = None
             if _skip_speech:
                 # raw-audio loaders assemble their own speech tensor
                 # (and overwrite frame_len from audio sample counts)
                 X = None
+            elif index_cache is not None:
+                # HBM-cache mode: emit gather indices + dropout mask;
+                # the RNG consumption below mirrors _drop_frames
+                # exactly (choice over arange(L), L = the truncated
+                # length the host path would have loaded)
+                X = None
+                rate = (self.data_cfg.get("zero_input", 0)
+                        if train and "train" in set_key else 0)
+                rows_idx = np.full((B,), index_cache.pad_row(b),
+                                   dtype=np.int32)
+                drop_mask = np.ones((B, T), dtype=np.uint8)
+                for j, u in enumerate(utts):
+                    rows_idx[j] = index_cache.row_of[u]
+                    L = min(index_cache.true_len[u], max_sp)
+                    num_drop = int(rate * L)
+                    if num_drop > 0:
+                        inds = np_rng.choice(np.arange(L), size=num_drop)
+                        drop_mask[j, inds] = 0
+                    frame_len[j] = min(L, T)
             elif self.text_mode:
                 # text-encoder source: padded int token ids
                 w2i = self.vocab[self.enc_key]["w2i"]
@@ -289,6 +319,9 @@ class DataLoader:
                 "rows": B,
                 "frame_len": frame_len,
             }
+            if rows_idx is not None:
+                batch["rows_idx"] = rows_idx
+                batch["drop_mask"] = drop_mask
             if _skip_speech:
                 batch["X_rows"] = B
 

@@ -250,6 +250,31 @@ class NN:
             from ast_tpu.ops.fbank import MfccExtractor
             self._mfcc = MfccExtractor()
 
+        # extras.hbm_cache: upload each bucket's padded feature matrix
+        # to HBM once and assemble train batches by device-side gather
+        # (data/device_cache.py) — per-batch wire traffic drops from
+        # the feature block to indices+mask+targets.  Bit-identical to
+        # host feeding with the default f32 cache;
+        # extras.hbm_cache_dtype="bfloat16" halves cache HBM (features
+        # round once on upload — not bit-exact, documented opt-in).
+        self.hbm_cache = bool(tcfg["extras"].get("hbm_cache", False))
+        if self.hbm_cache:
+            if self.wav_mode:
+                raise ValueError(
+                    "extras.hbm_cache needs precomputed features "
+                    "(data.features='wav' ships raw audio; the MFCC "
+                    "already runs on device in that mode)")
+            if getattr(self.data_loader, "text_mode", False):
+                raise ValueError("extras.hbm_cache: text-encoder mode "
+                                 "has no feature block to cache")
+        _cdt = tcfg["extras"].get("hbm_cache_dtype", "float32")
+        if _cdt not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"extras.hbm_cache_dtype={_cdt!r}: float32 | bfloat16")
+        self.hbm_cache_dtype = (jnp.bfloat16 if _cdt == "bfloat16"
+                                else np.float32)
+        self._hbm_caches = {}
+
         # mesh: data-parallel axis over local devices (1 device => trivial).
         # With legacy per-bucket batch sizes every size must shard evenly,
         # so the divisibility constraint is their gcd.
@@ -402,9 +427,20 @@ class NN:
         # configs (identical gradients; tests/test_trainer_e2e.py)
         remat = bool(extras.get("remat", False))
 
+        cached = self.hbm_cache
+
         def step(params, state, opt_state, X, y, n_real, key,
                  frame_len=None):
-            if not self.wav_mode and jnp.asarray(X).dtype != jnp.float32:
+            if cached:
+                # X = (cache (N+1,T,D), rows (B,), mask (B,T)): gather
+                # the batch out of the HBM cache and apply the host-
+                # drawn frame-dropout mask.  f32 cache + 0/1 multiply
+                # == the host-assembled block bit-for-bit.
+                cache_arr, rows, mask = X
+                X = jnp.asarray(cache_arr)[rows].astype(jnp.float32) \
+                    * mask.astype(jnp.float32)[:, :, None]
+            elif not self.wav_mode \
+                    and jnp.asarray(X).dtype != jnp.float32:
                 # extras.transfer_dtype: features crossed the wire
                 # narrow; widen on device before any compute
                 X = jnp.asarray(X).astype(jnp.float32)
@@ -446,6 +482,26 @@ class NN:
             # — bit-identical to G sequential ``step`` calls
             def multi_step(params, state, opt_state, Xs, ys, n_reals,
                            epoch_key, start, frame_lens=None):
+                if cached:
+                    # the cache array has no step axis: keep it a scan
+                    # constant, stack only rows/masks
+                    cache_arr, rows_s, masks_s = Xs
+                    G = rows_s.shape[0]
+
+                    def body(carry, inp):
+                        p, s, o = carry
+                        rows, mask, y, n_real, j, frame_len = inp
+                        key = jax.random.fold_in(epoch_key, start + j)
+                        p, s, o, loss = step(
+                            p, s, o, (cache_arr, rows, mask), y,
+                            n_real, key, frame_len)
+                        return (p, s, o), loss
+
+                    (params, state, opt_state), losses = jax.lax.scan(
+                        body, (params, state, opt_state),
+                        (rows_s, masks_s, ys, n_reals, jnp.arange(G),
+                         frame_lens))
+                    return params, state, opt_state, losses
                 G = Xs[0].shape[0] if isinstance(Xs, tuple) \
                     else Xs.shape[0]
 
@@ -510,6 +566,24 @@ class NN:
     # epoch loops
     # ------------------------------------------------------------------
     def _device_batch(self, batch, labels=True, narrow=False):
+        if "rows_idx" in batch:
+            # HBM-cache mode: only indices + dropout mask (+ targets)
+            # cross the wire; the cache array joins at dispatch time
+            out = {
+                "rows_idx": batch["rows_idx"],
+                "drop_mask": batch["drop_mask"],
+                "n_real": np.float32(batch["n_real"]),
+            }
+            if labels:
+                out["y"] = batch["y"]
+                out["frame_len"] = batch["frame_len"]
+            if self.mesh is not None:
+                out = shard_batch(out, self.mesh)
+            else:
+                out = jax.device_put(out)
+            out["utts"] = batch["utts"]
+            out["bucket"] = batch["bucket"]
+            return out
         if self.wav_mode:
             x_val = (batch["audio"], batch["cmvn_mean"],
                      batch["cmvn_std"])
@@ -543,6 +617,22 @@ class NN:
         if len(batches) < self.steps_per_dispatch:
             return ("singles", [self._device_batch(b, True, narrow=True)
                                 for b in batches])
+        if "rows_idx" in batches[0]:
+            out = {
+                "rows_idx": np.stack([b["rows_idx"] for b in batches]),
+                "drop_mask": np.stack([b["drop_mask"] for b in batches]),
+                "y": np.stack([b["y"] for b in batches]),
+                "n_real": np.asarray([b["n_real"] for b in batches],
+                                     np.float32),
+                "frame_len": np.stack([b["frame_len"] for b in batches]),
+            }
+            if self.mesh is not None:
+                out = shard_batch(out, self.mesh, axis=1)
+            else:
+                out = jax.device_put(out)
+            out["sizes"] = [max(1, len(b["utts"])) for b in batches]
+            out["bucket"] = batches[0]["bucket"]
+            return ("multi", out)
         if self.wav_mode:
             xs = tuple(np.stack([b[k] for b in batches])
                        for k in ("audio", "cmvn_mean", "cmvn_std"))
@@ -567,9 +657,22 @@ class NN:
         out["sizes"] = [max(1, len(b["utts"])) for b in batches]
         return ("multi", out)
 
+    def _hbm_cache_for(self, set_key):
+        """Build (once per split) the HBM-resident feature cache."""
+        if set_key not in self._hbm_caches:
+            from ast_tpu.data.device_cache import EpochFeatureCache
+            cache = EpochFeatureCache(
+                self.data_loader, set_key, mesh=self.mesh,
+                dtype=self.hbm_cache_dtype)
+            print(f"hbm_cache[{set_key}]: "
+                  f"{cache.nbytes / 1e6:.0f} MB resident", flush=True)
+            self._hbm_caches[set_key] = cache
+        return self._hbm_caches[set_key]
+
     def train_epoch(self, set_key, epoch=0):
         tcfg = self.cfg.train
         batch_size = tcfg["batch_size"]
+        cache = self._hbm_cache_for(set_key) if self.hbm_cache else None
 
         # legacy weight-noise schedule (reference: nmt_run.py:850-854)
         wn_iter = tcfg["extras"].get("weight_noise_iter", 0)
@@ -601,7 +704,8 @@ class NN:
         gen = self.data_loader.get_batch(
             batch_size, set_key, train=True, labels=True,
             curriculum=tcfg.get("curriculum", False), epoch=epoch,
-            group_runs=G, tail_shrink=self.tail_shrink)
+            group_runs=G, tail_shrink=self.tail_shrink,
+            index_cache=cache)
         if skip:
             import itertools
             gen = itertools.islice(gen, skip, None)
@@ -650,9 +754,14 @@ class NN:
                     f"{consumed} batches")
 
         def run_single(batch):
+            if cache is not None:
+                X_in = (cache.bucket_array(batch["bucket"]),
+                        batch["rows_idx"], batch["drop_mask"])
+            else:
+                X_in = batch["X"]
             p, s, o, loss = self._train_step(
                 self.params, self.state, self.opt_state,
-                batch["X"], batch["y"], batch["n_real"],
+                X_in, batch["y"], batch["n_real"],
                 epoch_key, consumed, batch.get("frame_len"))
             self.params, self.state, self.opt_state = p, s, o
             losses.append(loss)
@@ -672,9 +781,15 @@ class NN:
                                   workers=pf_workers)
             for kind, payload in prefetch:
                 if kind == "multi":
+                    if cache is not None:
+                        Xs_in = (cache.bucket_array(payload["bucket"]),
+                                 payload["rows_idx"],
+                                 payload["drop_mask"])
+                    else:
+                        Xs_in = payload["X"]
                     p, s, o, loss_vec = self._train_multi_step(
                         self.params, self.state, self.opt_state,
-                        payload["X"], payload["y"], payload["n_real"],
+                        Xs_in, payload["y"], payload["n_real"],
                         epoch_key, consumed, payload.get("frame_len"))
                     self.params, self.state, self.opt_state = p, s, o
                     losses.append(loss_vec)

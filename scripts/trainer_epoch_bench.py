@@ -111,7 +111,8 @@ def build_corpus(root, log=print):
 
 
 def write_configs(root, batch, g, transfer_dtype="float32",
-                  prefetch_workers=2):
+                  prefetch_workers=2, hbm_cache=False,
+                  hbm_cache_dtype="float32"):
     from __graft_entry__ import FLAGSHIP_MCFG
 
     exp = os.path.join(root, "exp")
@@ -126,6 +127,8 @@ def write_configs(root, batch, g, transfer_dtype="float32",
                    "compute_dtype": "bfloat16",
                    "transfer_dtype": transfer_dtype,
                    "prefetch_workers": prefetch_workers,
+                   "hbm_cache": hbm_cache,
+                   "hbm_cache_dtype": hbm_cache_dtype,
                    "steps_per_dispatch": g},
         "data": {
             "enc_key": "sp", "dec_key": "en_w",
@@ -166,6 +169,13 @@ def main():
                     choices=["float32", "bfloat16", "float16"])
     ap.add_argument("--workers", type=int, default=2,
                     help="extras.prefetch_workers")
+    ap.add_argument("--hbm-cache", action="store_true",
+                    dest="hbm_cache",
+                    help="extras.hbm_cache: device-resident epoch "
+                         "feature cache (gather-assembled batches)")
+    ap.add_argument("--hbm-cache-dtype", default="float32",
+                    dest="hbm_cache_dtype",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--skip-model", action="store_true",
                     help="skip the bench.py epoch-model comparison run")
     args = ap.parse_args()
@@ -181,9 +191,14 @@ def main():
                 print(f"packed {s}")
     exp = write_configs(args.root, args.batch, args.g,
                         transfer_dtype=args.transfer_dtype,
-                        prefetch_workers=args.workers)
+                        prefetch_workers=args.workers,
+                        hbm_cache=args.hbm_cache,
+                        hbm_cache_dtype=args.hbm_cache_dtype)
     print(f"transfer_dtype={args.transfer_dtype} "
-          f"prefetch_workers={args.workers}", flush=True)
+          f"prefetch_workers={args.workers} "
+          f"hbm_cache={args.hbm_cache}"
+          + (f" ({args.hbm_cache_dtype})" if args.hbm_cache else ""),
+          flush=True)
 
     import jax
     from ast_tpu.train.trainer import NN
