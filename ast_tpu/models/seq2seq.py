@@ -724,6 +724,11 @@ def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
     drop_e = float(mcfg["dropout"]["embed"]) if train else 0.0
     drop_r = float(mcfg["dropout"]["rnn"]) if train else 0.0
     interp = bool(rnn.get("fused_interpret", False))
+    # experimental: decoder tokens per Mosaic grid step (bit-identical
+    # at any value; must divide the step count, else fall back to 1)
+    tps = int(rnn.get("fused_tokens_per_step", 1))
+    if tps < 1 or steps % tps != 0:
+        tps = 1
 
     def run_chunks(enc_l, h0_l, c0_l, yoh_l, w_l, coins_l, seed_l,
                    base_off):
@@ -739,7 +744,8 @@ def _fused_decoder_loss(params, mcfg, enc_states, dec_h0, dec_c0, y, key,
                 w_l["wa"], w_l["wa_b"], w_l["ctx_w"], w_l["ctx_b"],
                 w_l["out_w"], w_l["out_b"], w_l["embed"],
                 yoh_l[:, b0:b1], coins_l, seed_l,
-                drop_e, drop_r, bool(train), interp, base_off + b0))
+                drop_e, drop_r, bool(train), interp, base_off + b0,
+                tps))
         return parts[0] if len(parts) == 1 \
             else jnp.concatenate(parts, axis=1)
 

@@ -134,7 +134,7 @@ def _dot_c0(a, b):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
+def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train, S, U,
                 seed_ref, off_ref, coin_ref, yoh_ref, enc_ref,
                 wx0_ref, wxr_ref, wh_ref, b_ref, wa_ref, wab_ref,
                 ctxw_ref, ctxb_ref, outw_ref, outb_ref, embed_ref,
@@ -142,86 +142,96 @@ def _fwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
                 ht_out_ref, sel_ref, acts_ref, call_ref, hall_ref,
                 alpha_ref, q_ref, cv_ref, emb_ref,
                 h_s, c_s, ht_s, oh_s):
-    t = pl.program_id(0)
+    gs = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(gs == 0)
     def _():
         h_s[...] = h0_ref[...]
         c_s[...] = c0_ref[...]
         ht_s[...] = jnp.zeros_like(ht_s)
         oh_s[...] = jnp.zeros_like(oh_s)
 
-    # ---- input selection: teacher one-hot vs previous argmax one-hot
-    use_true = coin_ref[t] > 0
-    sel = jnp.where(use_true, yoh_ref[0].astype(jnp.float32), oh_s[...])
-    sel_ref[0] = sel.astype(sel_ref.dtype)
+    # S decoder tokens advance per grid step (S=2 halves the grid;
+    # VERDICT r4 #7 experiment).  The dropout-hash seeds and coin
+    # indexing use the ABSOLUTE step t, so any S produces bit-identical
+    # streams; scheduled-sampling semantics are unchanged (the in-kernel
+    # argmax feed below runs whenever the next absolute step samples,
+    # whether that step lives in this grid step or the next).
+    for s in range(S):
+        t = gs * S + s
 
-    emb = _dot(sel, embed_ref[...])                     # (B, E)
-    if train and emb_drop > 0:
-        keep = _drop_mask((B, E), emb_drop, seed_ref[0] + 2 * t,
-                          row_axis=0, row_offset=off_ref[0])
-        emb = jnp.where(keep, emb / (1.0 - emb_drop), 0.0)
-    emb_ref[0] = emb.astype(emb_ref.dtype)
+        # ---- input selection: teacher one-hot vs previous argmax
+        use_true = coin_ref[t] > 0
+        sel = jnp.where(use_true, yoh_ref[s].astype(jnp.float32),
+                        oh_s[...])
+        sel_ref[s] = sel.astype(sel_ref.dtype)
 
-    x = jnp.concatenate([emb, ht_s[...]], axis=-1)      # (B, E+A)
-
-    # ---- LSTM stack
-    for l in range(L):
-        z = _dot(x, wx0_ref[...]) if l == 0 else _dot(x, wxr_ref[l - 1])
-        z = z + _dot(h_s[l], wh_ref[l]) + b_ref[l]
-        i, f, g, o, c_new, h_new = _apply_gates(z, c_s[l], H)
-        acts_ref[0, l] = jnp.concatenate(
-            [i, f, g, o], axis=-1).astype(acts_ref.dtype)
-        call_ref[0, l] = c_new.astype(call_ref.dtype)
-        hall_ref[0, l] = h_new.astype(hall_ref.dtype)
-        h_s[l] = h_new
-        c_s[l] = c_new
-        x = h_new
-        if train and rnn_drop > 0:
-            keep = _drop_mask((B, H), rnn_drop,
-                              seed_ref[0] + 2 * (t * L + l) + 1,
+        emb = _dot(sel, embed_ref[...])                 # (B, E)
+        if train and emb_drop > 0:
+            keep = _drop_mask((B, E), emb_drop, seed_ref[0] + 2 * t,
                               row_axis=0, row_offset=off_ref[0])
-            x = jnp.where(keep, x / (1.0 - rnn_drop), 0.0)
+            emb = jnp.where(keep, emb / (1.0 - emb_drop), 0.0)
+        emb_ref[s] = emb.astype(emb_ref.dtype)
 
-    h_top = x                                            # (B, H), dropped
+        x = jnp.concatenate([emb, ht_s[...]], axis=-1)  # (B, E+A)
 
-    # ---- Luong attention over resident encoder states
-    q = _dot(h_top, wa_ref[...]) + wab_ref[...]          # (B, H)
-    q_ref[0] = q.astype(q_ref.dtype)
-    # Batched contractions on the MXU (Mosaic's dot has no batch dims):
-    # all-pairs products against enc flattened to (B*T, H), diagonal
-    # selected with a cheap mask; only outer/sublane reshapes occur.
-    enc2 = enc_ref[...]                                  # (B*T, H) wdt
-    scores = _diag_rows(_dot_t(enc2, q), B, T)           # (B, T)
-    alphas = jax.nn.softmax(scores, axis=-1)
-    alpha_ref[0] = alphas.astype(alpha_ref.dtype)
-    cv = _dot_c0(_diag_expand(alphas, B, T), enc2)       # (B, H)
-    cv_ref[0] = cv.astype(cv_ref.dtype)
+        # ---- LSTM stack
+        for l in range(L):
+            z = _dot(x, wx0_ref[...]) if l == 0 \
+                else _dot(x, wxr_ref[l - 1])
+            z = z + _dot(h_s[l], wh_ref[l]) + b_ref[l]
+            i, f, g, o, c_new, h_new = _apply_gates(z, c_s[l], H)
+            acts_ref[s, l] = jnp.concatenate(
+                [i, f, g, o], axis=-1).astype(acts_ref.dtype)
+            call_ref[s, l] = c_new.astype(call_ref.dtype)
+            hall_ref[s, l] = h_new.astype(hall_ref.dtype)
+            h_s[l] = h_new
+            c_s[l] = c_new
+            x = h_new
+            if train and rnn_drop > 0:
+                keep = _drop_mask((B, H), rnn_drop,
+                                  seed_ref[0] + 2 * (t * L + l) + 1,
+                                  row_axis=0, row_offset=off_ref[0])
+                x = jnp.where(keep, x / (1.0 - rnn_drop), 0.0)
 
-    ctx_in = jnp.concatenate([cv, h_top], axis=-1)       # (B, 2H)
-    ht = jnp.tanh(_dot(ctx_in, ctxw_ref[...]) + ctxb_ref[...])
-    ht_s[...] = ht
-    ht_out_ref[0] = ht.astype(ht_out_ref.dtype)
+        h_top = x                                        # (B, H), dropped
 
-    # ---- argmax feed (loss logits computed outside); only needed when
-    # the NEXT step samples.  Exact argmax (ties -> first index), same as
-    # the scan path's jnp.argmax.
-    T_steps = pl.num_programs(0)
-    next_samples = jnp.where(t + 1 < T_steps,
-                             coin_ref[jnp.minimum(t + 1, T_steps - 1)] == 0,
-                             False)
+        # ---- Luong attention over resident encoder states
+        q = _dot(h_top, wa_ref[...]) + wab_ref[...]      # (B, H)
+        q_ref[s] = q.astype(q_ref.dtype)
+        # Batched contractions on the MXU (Mosaic's dot has no batch
+        # dims): all-pairs products against enc flattened to (B*T, H),
+        # diagonal selected with a cheap mask; only outer/sublane
+        # reshapes occur.
+        enc2 = enc_ref[...]                              # (B*T, H) wdt
+        scores = _diag_rows(_dot_t(enc2, q), B, T)       # (B, T)
+        alphas = jax.nn.softmax(scores, axis=-1)
+        alpha_ref[s] = alphas.astype(alpha_ref.dtype)
+        cv = _dot_c0(_diag_expand(alphas, B, T), enc2)   # (B, H)
+        cv_ref[s] = cv.astype(cv_ref.dtype)
 
-    @pl.when(next_samples)
-    def _():
-        logits = _dot(ht, outw_ref[...]) + outb_ref[...]  # (B, Vp)
-        idx = jnp.argmax(logits, axis=-1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
-        oh_s[...] = (lane == idx[:, None]).astype(jnp.float32)
+        ctx_in = jnp.concatenate([cv, h_top], axis=-1)   # (B, 2H)
+        ht = jnp.tanh(_dot(ctx_in, ctxw_ref[...]) + ctxb_ref[...])
+        ht_s[...] = ht
+        ht_out_ref[s] = ht.astype(ht_out_ref.dtype)
+
+        # ---- argmax feed (loss logits computed outside); only needed
+        # when the NEXT step samples.  Exact argmax (ties -> first
+        # index), same as the scan path's jnp.argmax.
+        next_samples = jnp.where(
+            t + 1 < U, coin_ref[jnp.minimum(t + 1, U - 1)] == 0, False)
+
+        @pl.when(next_samples)
+        def _():
+            logits = _dot(ht, outw_ref[...]) + outb_ref[...]  # (B, Vp)
+            idx = jnp.argmax(logits, axis=-1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+            oh_s[...] = (lane == idx[:, None]).astype(jnp.float32)
 
 
 def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
                     seed, drop_emb, drop_rnn, train, interpret=False,
-                    row_offset=0):
+                    row_offset=0, tokens_per_step=1):
     """Run the fused decoder over all steps.
 
     enc_states (B,T,H) [weight dtype]; dec_h0/c0 (L,B,H) f32;
@@ -229,7 +239,9 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
     (1 = teacher-forced).  ``w``: dict with wx0 (E+A,4H),
     wx_rest (L-1,H,4H), wh (L,H,4H), b (L,4H), wa (H,H), wa_b (H,),
     ctx_w (2H,A), ctx_b (A,), out_w (A,Vp), out_b (Vp,), embed (Vp,E).
-    Returns (ht_seq (U,B,A) f32, residuals dict).
+    ``tokens_per_step`` (S): decoder tokens advanced per grid step —
+    must divide U; bit-identical outputs at any S (absolute-step
+    seeds/coins).  Returns (ht_seq (U,B,A) f32, residuals dict).
     """
     U, B, Vp = y_oh.shape
     L, _, H = dec_h0.shape
@@ -237,14 +249,17 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
     A = w["ctx_w"].shape[1]
     E = w["embed"].shape[1]
     rdt = w["wh"].dtype
+    S = int(tokens_per_step)
+    assert U % S == 0, (U, S)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     off_arr = jnp.asarray(row_offset, jnp.int32).reshape(1)
 
     kern = functools.partial(_fwd_kernel, L, B, H, E, A, T, Vp,
-                             float(drop_emb), float(drop_rnn), bool(train))
+                             float(drop_emb), float(drop_rnn),
+                             bool(train), S, U)
 
     def tblk(*dims):
-        return pl.BlockSpec((1,) + dims,
+        return pl.BlockSpec((S,) + dims,
                             lambda t: (t,) + (0,) * len(dims),
                             memory_space=pltpu.VMEM)
 
@@ -268,7 +283,7 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
 
     out = pl.pallas_call(
         kern,
-        grid=(U,),
+        grid=(U // S,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),      # row offset
@@ -308,7 +323,7 @@ def decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
+def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train, S, U,
                 seed_ref, off_ref, acts_ref, call_ref, cprev_ref,
                 alpha_ref, ht_ref, dhtext_ref,
                 enc_ref, wx0_ref, wxr_ref, wh_ref, wa_ref, ctxw_ref,
@@ -317,11 +332,11 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
                 dh_s, dc_s, dht_s):
     """Reverse-time pass: per-step gradients of every matmul input.
 
-    Grid step k processes t = U-1-k; weight/enc gradients are computed
-    outside from the streamed outputs."""
+    Grid step k processes the S absolute steps of reverse block
+    U//S-1-k (sub-steps walked high-to-low); weight/enc gradients are
+    computed outside from the streamed outputs."""
     k = pl.program_id(0)
-    U = pl.num_programs(0)
-    t = U - 1 - k
+    gs = U // S - 1 - k
 
     @pl.when(k == 0)
     def _():
@@ -332,87 +347,90 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
     inv_keep_r = 1.0 / (1.0 - rnn_drop) if rnn_drop > 0 else 1.0
     inv_keep_e = 1.0 / (1.0 - emb_drop) if emb_drop > 0 else 1.0
 
-    # ---- attentional hidden state / tanh / context layer
-    ht = ht_ref[0].astype(jnp.float32)                   # (B, A)
-    d_ht = dhtext_ref[0].astype(jnp.float32) + dht_s[...]
-    d_pre = d_ht * (1.0 - ht * ht)
-    dpre_ref[0] = d_pre.astype(dpre_ref.dtype)
-    d_ctx_in = _dot_t(d_pre, ctxw_ref[...])              # (B, 2H)
-    d_cv = d_ctx_in[:, :H]
-    d_htop = d_ctx_in[:, H:]
-    dcv_ref[0] = d_cv.astype(dcv_ref.dtype)
+    for s in reversed(range(S)):
+        t = gs * S + s
 
-    # ---- attention backward
-    alphas = alpha_ref[0].astype(jnp.float32)            # (B, T)
-    enc2 = enc_ref[...]                                  # (B*T, H) wdt
-    d_alphas = _diag_rows(_dot_t(enc2, d_cv), B, T)      # (B, T)
-    inner = jnp.sum(d_alphas * alphas, axis=-1, keepdims=True)
-    d_scores = alphas * (d_alphas - inner)
-    dscore_ref[0] = d_scores.astype(dscore_ref.dtype)
-    d_q = _dot_c0(_diag_expand(d_scores, B, T), enc2)    # (B, H)
-    dq_ref[0] = d_q.astype(dq_ref.dtype)
-    d_htop = d_htop + _dot_t(d_q, wa_ref[...])
+        # ---- attentional hidden state / tanh / context layer
+        ht = ht_ref[s].astype(jnp.float32)               # (B, A)
+        d_ht = dhtext_ref[s].astype(jnp.float32) + dht_s[...]
+        d_pre = d_ht * (1.0 - ht * ht)
+        dpre_ref[s] = d_pre.astype(dpre_ref.dtype)
+        d_ctx_in = _dot_t(d_pre, ctxw_ref[...])          # (B, 2H)
+        d_cv = d_ctx_in[:, :H]
+        d_htop = d_ctx_in[:, H:]
+        dcv_ref[s] = d_cv.astype(dcv_ref.dtype)
 
-    # top-layer dropout between h_{L-1} and its consumers
-    if train and rnn_drop > 0:
-        keep = _drop_mask((B, H), rnn_drop,
-                          seed_ref[0] + 2 * (t * L + (L - 1)) + 1,
-                          row_axis=0, row_offset=off_ref[0])
-        d_htop = jnp.where(keep, d_htop * inv_keep_r, 0.0)
+        # ---- attention backward
+        alphas = alpha_ref[s].astype(jnp.float32)        # (B, T)
+        enc2 = enc_ref[...]                              # (B*T, H) wdt
+        d_alphas = _diag_rows(_dot_t(enc2, d_cv), B, T)  # (B, T)
+        inner = jnp.sum(d_alphas * alphas, axis=-1, keepdims=True)
+        d_scores = alphas * (d_alphas - inner)
+        dscore_ref[s] = d_scores.astype(dscore_ref.dtype)
+        d_q = _dot_c0(_diag_expand(d_scores, B, T), enc2)  # (B, H)
+        dq_ref[s] = d_q.astype(dq_ref.dtype)
+        d_htop = d_htop + _dot_t(d_q, wa_ref[...])
 
-    # ---- LSTM stack backward
-    dx_above = None
-    for l in reversed(range(L)):
-        if l == L - 1:
-            cons = d_htop
-        else:
-            cons = dx_above
-            if train and rnn_drop > 0:
-                keep = _drop_mask((B, H), rnn_drop,
-                                  seed_ref[0] + 2 * (t * L + l) + 1,
-                                  row_axis=0, row_offset=off_ref[0])
-                cons = jnp.where(keep, cons * inv_keep_r, 0.0)
-        dh = dh_s[l] + cons
+        # top-layer dropout between h_{L-1} and its consumers
+        if train and rnn_drop > 0:
+            keep = _drop_mask((B, H), rnn_drop,
+                              seed_ref[0] + 2 * (t * L + (L - 1)) + 1,
+                              row_axis=0, row_offset=off_ref[0])
+            d_htop = jnp.where(keep, d_htop * inv_keep_r, 0.0)
 
-        acts = acts_ref[0, l].astype(jnp.float32)
-        i = acts[..., :H]
-        f = acts[..., H:2 * H]
-        g = acts[..., 2 * H:3 * H]
-        o = acts[..., 3 * H:]
-        c_new = call_ref[0, l].astype(jnp.float32)
-        c_prev = cprev_ref[0, l].astype(jnp.float32)
+        # ---- LSTM stack backward
+        dx_above = None
+        for l in reversed(range(L)):
+            if l == L - 1:
+                cons = d_htop
+            else:
+                cons = dx_above
+                if train and rnn_drop > 0:
+                    keep = _drop_mask((B, H), rnn_drop,
+                                      seed_ref[0] + 2 * (t * L + l) + 1,
+                                      row_axis=0, row_offset=off_ref[0])
+                    cons = jnp.where(keep, cons * inv_keep_r, 0.0)
+            dh = dh_s[l] + cons
 
-        tanh_c = jnp.tanh(c_new)
-        do = dh * tanh_c
-        dc = dc_s[l] + dh * o * (1.0 - tanh_c * tanh_c)
-        di = dc * g
-        df = dc * c_prev
-        dg = dc * i
-        dc_s[l] = dc * f
+            acts = acts_ref[s, l].astype(jnp.float32)
+            i = acts[..., :H]
+            f = acts[..., H:2 * H]
+            g = acts[..., 2 * H:3 * H]
+            o = acts[..., 3 * H:]
+            c_new = call_ref[s, l].astype(jnp.float32)
+            c_prev = cprev_ref[s, l].astype(jnp.float32)
 
-        dz = jnp.concatenate([
-            di * i * (1.0 - i),
-            df * f * (1.0 - f),
-            dg * (1.0 - g * g),
-            do * o * (1.0 - o),
-        ], axis=-1)
-        dz_ref[0, l] = dz.astype(dz_ref.dtype)
+            tanh_c = jnp.tanh(c_new)
+            do = dh * tanh_c
+            dc = dc_s[l] + dh * o * (1.0 - tanh_c * tanh_c)
+            di = dc * g
+            df = dc * c_prev
+            dg = dc * i
+            dc_s[l] = dc * f
 
-        dh_s[l] = _dot_t(dz, wh_ref[l])
-        if l > 0:
-            dx_above = _dot_t(dz, wxr_ref[l - 1])
-        else:
-            dx0 = _dot_t(dz, wx0_ref[...])               # (B, E+A)
-            d_emb = dx0[:, :E]
-            if train and emb_drop > 0:
-                keep = _drop_mask((B, E), emb_drop,
-                                  seed_ref[0] + 2 * t,
-                                  row_axis=0, row_offset=off_ref[0])
-                d_emb = jnp.where(keep, d_emb * inv_keep_e, 0.0)
-            demb_ref[0] = d_emb.astype(demb_ref.dtype)
-            dht_s[...] = dx0[:, E:]                      # to step t-1
+            dz = jnp.concatenate([
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ], axis=-1)
+            dz_ref[s, l] = dz.astype(dz_ref.dtype)
 
-    @pl.when(k == U - 1)
+            dh_s[l] = _dot_t(dz, wh_ref[l])
+            if l > 0:
+                dx_above = _dot_t(dz, wxr_ref[l - 1])
+            else:
+                dx0 = _dot_t(dz, wx0_ref[...])           # (B, E+A)
+                d_emb = dx0[:, :E]
+                if train and emb_drop > 0:
+                    keep = _drop_mask((B, E), emb_drop,
+                                      seed_ref[0] + 2 * t,
+                                      row_axis=0, row_offset=off_ref[0])
+                    d_emb = jnp.where(keep, d_emb * inv_keep_e, 0.0)
+                demb_ref[s] = d_emb.astype(demb_ref.dtype)
+                dht_s[...] = dx0[:, E:]                  # to step t-1
+
+    @pl.when(k == U // S - 1)
     def _():
         dh0_ref[...] = dh_s[...]
         dc0_ref[...] = dc_s[...]
@@ -420,7 +438,7 @@ def _bwd_kernel(L, B, H, E, A, T, Vp, emb_drop, rnn_drop, train,
 
 def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
                      drop_emb, drop_rnn, train, interpret=False,
-                     row_offset=0):
+                     row_offset=0, tokens_per_step=1):
     """Run the reverse kernel; returns the per-step gradient streams plus
     (dh0, dc0)."""
     U, B, A = d_ht_ext.shape
@@ -429,6 +447,8 @@ def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
     T = enc_states.shape[1]
     E = res["emb"].shape[-1]
     rdt = w["wh"].dtype
+    S = int(tokens_per_step)
+    assert U % S == 0, (U, S)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     off_arr = jnp.asarray(row_offset, jnp.int32).reshape(1)
 
@@ -437,11 +457,12 @@ def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
         axis=0)
 
     kern = functools.partial(_bwd_kernel, L, B, H, E, A, T, 0,
-                             float(drop_emb), float(drop_rnn), bool(train))
+                             float(drop_emb), float(drop_rnn),
+                             bool(train), S, U)
 
     def rblk(*dims):
-        return pl.BlockSpec((1,) + dims,
-                            lambda k: (U - 1 - k,) + (0,) * len(dims),
+        return pl.BlockSpec((S,) + dims,
+                            lambda k: (U // S - 1 - k,) + (0,) * len(dims),
                             memory_space=pltpu.VMEM)
 
     def full():
@@ -462,7 +483,7 @@ def decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
 
     out = pl.pallas_call(
         kern,
-        grid=(U,),
+        grid=(U // S,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),      # row offset
@@ -503,33 +524,36 @@ _W_NAMES = ["wx0", "wx_rest", "wh", "b", "wa", "wa_b", "ctx_w", "ctx_b",
             "out_w", "out_b", "embed"]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19, 20, 22))
 def fused_decoder_apply(enc_states, dec_h0, dec_c0,
                         wx0, wx_rest, wh, b, wa, wa_b, ctx_w, ctx_b,
                         out_w, out_b, embed, y_oh, coins, seed,
                         drop_emb, drop_rnn, train, interpret,
-                        row_offset=0):
+                        row_offset=0, tokens_per_step=1):
     """Differentiable fused decoder: returns ht_seq (U, B, A) f32.
 
     ``row_offset``: global index of this call's first batch row — the
     dropout hashes use global row ids, so chunked/data-sharded calls are
-    bit-identical to one full-batch kernel."""
+    bit-identical to one full-batch kernel.  ``tokens_per_step``:
+    decoder tokens advanced per Mosaic grid step (must divide U);
+    bit-identical outputs at any value."""
     w = dict(zip(_W_NAMES, [wx0, wx_rest, wh, b, wa, wa_b, ctx_w, ctx_b,
                             out_w, out_b, embed]))
     ht, _ = decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
                             seed, drop_emb, drop_rnn, train, interpret,
-                            row_offset)
+                            row_offset, tokens_per_step)
     return ht
 
 
 def _fd_fwd(enc_states, dec_h0, dec_c0, wx0, wx_rest, wh, b, wa, wa_b,
             ctx_w, ctx_b, out_w, out_b, embed, y_oh, coins, seed,
-            drop_emb, drop_rnn, train, interpret, row_offset=0):
+            drop_emb, drop_rnn, train, interpret, row_offset=0,
+            tokens_per_step=1):
     w = dict(zip(_W_NAMES, [wx0, wx_rest, wh, b, wa, wa_b, ctx_w, ctx_b,
                             out_w, out_b, embed]))
     ht, res = decoder_forward(enc_states, dec_h0, dec_c0, w, y_oh, coins,
                               seed, drop_emb, drop_rnn, train, interpret,
-                              row_offset)
+                              row_offset, tokens_per_step)
     res["ht"] = ht
     keep = (enc_states, dec_h0, dec_c0, w, res, seed, row_offset)
     return ht, keep
@@ -544,7 +568,8 @@ def _regen_masks(U, shape, rate, seed, offset, stride, row_offset=0):
     ])
 
 
-def _fd_bwd(drop_emb, drop_rnn, train, interpret, keep, d_ht_ext):
+def _fd_bwd(drop_emb, drop_rnn, train, interpret, tokens_per_step,
+            keep, d_ht_ext):
     enc_states, dec_h0, dec_c0, w, res, seed, row_offset = keep
     U, B, A = d_ht_ext.shape
     L = res["acts"].shape[1]
@@ -553,7 +578,7 @@ def _fd_bwd(drop_emb, drop_rnn, train, interpret, keep, d_ht_ext):
 
     g = decoder_backward(res, enc_states, dec_c0, w, d_ht_ext, seed,
                          drop_emb, drop_rnn, train, interpret,
-                         row_offset)
+                         row_offset, tokens_per_step)
 
     f32 = jnp.float32
     dz = g["dz"].astype(f32)                             # (U, L, B, 4H)
