@@ -4,6 +4,13 @@ es_en_20h model shape, real hardware.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
+Round-5 headline: the SHIPPED harness.  ``NN.train_epoch`` runs the
+full 20-bucket es_en_20h-shaped epoch (17,306 utts) with the HBM
+feature cache (B=32, G=4, fused+bf16); the recorded value is the
+median warm epoch.  The step models below run first and serve as the
+watchdog's fallback payload (headline_source says which path produced
+the number).
+
 Two baselines are measured and reported (BASELINE.md caveats):
 
 - ``vs_jitted_scan`` (== ``vs_baseline``, the headline): the same train
@@ -402,8 +409,43 @@ def _decile_spread(v):
     return round(float(p90 - p10) / max(1e-9, float(np.median(v))), 3)
 
 
+def _bench_real_trainer(deadline_end, warm_target=4):
+    """Drive the SHIPPED ``NN.train_epoch`` (hbm_cache, B=32 G=4,
+    fused+bf16) over the es_en_20h-shaped epoch corpus; returns a list
+    of warm epoch utts/sec (possibly empty on deadline/compile
+    failure).  This is the round-5 headline: the artifact number is
+    produced by the real harness, not a step model (VERDICT r4 #8)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    try:
+        from trainer_epoch_bench import build_corpus, write_configs
+        from ast_tpu.train.trainer import NN
+    except Exception:
+        return [], 0
+    try:
+        root = os.environ.get("BENCH_TRAINER_ROOT",
+                              "/tmp/trainer_epoch_bench")
+        n_utts = build_corpus(root, log=lambda *a, **k: None)
+        exp = write_configs(root, 32, 4, hbm_cache=True)
+        nn = NN(exp)
+        rates = []
+        for e in range(1, warm_target + 2):
+            if rates and time.time() > deadline_end:
+                break
+            t0 = time.perf_counter()
+            nn.train_epoch("syn_train", epoch=e)
+            dt = time.perf_counter() - t0
+            if e > 1:          # epoch 1 = compiles + cache upload
+                rates.append(n_utts / dt)
+        return rates, n_utts
+    except Exception:
+        return [], 0
+
+
 def _train_payload(specs, fused_rounds, scan_best, standin,
-                   round_times=None, deadline_hit=None):
+                   round_times=None, deadline_hit=None,
+                   trainer_rates=None):
     """Build the result JSON from whatever has been measured so far."""
     done = {k: v for k, v in fused_rounds.items() if v}
     if not done:
@@ -421,15 +463,34 @@ def _train_payload(specs, fused_rounds, scan_best, standin,
     best_cfg = max(fused_best, key=fused_best.get)
     value = fused_best[best_cfg]
     B, G = specs[best_cfg]
-    scan_same = scan_best.get(best_cfg, 0.0)
+    # headline: the REAL harness when it produced warm epochs; the
+    # step model is the fallback (and always reported alongside)
+    trainer = sorted(trainer_rates or [])
+    if trainer:
+        value = float(np.median(trainer))
+        config = ("REAL NN.train_epoch: full 20-bucket es_en_20h "
+                  "epoch (17,306 utts), B=32 G=4, fused Pallas + bf16 "
+                  "+ hbm_cache; median of warm epochs")
+        scan_same = scan_best.get("B32_G4", 0.0)
+    else:
+        config = (f"step model: fused Pallas + bf16, B={B}"
+                  + (f", {G} steps/dispatch" if G > 1 else ""))
+        scan_same = scan_best.get(best_cfg, 0.0)
     vs_scan = (value / scan_same) if scan_same else None
     vs_standin = (value / standin) if standin else None
     return {
         "metric": "fisher_es_en_20h_train_utts_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "utts/sec/chip",
-        "config": f"fused Pallas + bf16, B={B}"
-                  + (f", {G} steps/dispatch" if G > 1 else ""),
+        "config": config,
+        "headline_source": "real_trainer" if trainer
+                           else "step_model_fallback",
+        **({"trainer_epochs_utts_per_sec":
+            [round(v, 1) for v in trainer],
+            "trainer_epoch_seconds":
+            round(17306 / float(np.median(trainer)), 2),
+            "trainer_spread": _decile_spread(trainer)}
+           if trainer else {}),
         # headline ratio = the defensible one: vs our own fully-jitted
         # f32 lax.scan step at the same batch size AND same dispatch
         # grouping on the same chip
@@ -502,25 +563,23 @@ def main():
         dt, ups, sps = bench_epoch(result_box=box)
         emit_once(epoch_payload(dt, ups, sps))
         return
-    # The remote-TPU tunnel swings >2x between minutes; interleave the
-    # measurement rounds of all jitted configurations so a slow window
-    # depresses them together, and take best-of per config.  Two fused
-    # batch sizes are measured: B=32 (the es_en_20h recipe batch) and
-    # B=128 (throughput configuration — the kernels batch-chunk to fit
-    # VMEM); the headline is the best fused config, with its same-batch
-    # jitted-scan baseline as the honest ratio.
-    # B256_G4 replaced B32_G8 in round 4: a same-session interleaved
-    # probe (scripts: /tmp pattern recorded in BASELINE.md) had B256
-    # beating B128 by ~2% in 6/8 rounds (best 7,247 vs 7,092) while
-    # B32_G8 never led; keeps the compile budget flat at 4 specs
-    specs = {"B32": (32, 1), "B128": (128, 1),
-             "B256_G4": (256, 4), "B128_G4": (128, 4)}
+    # Round-5 structure: the step models run FIRST (quick, and the
+    # watchdog's fallback payload), then the REAL harness produces the
+    # headline — NN.train_epoch with the HBM cache over the full
+    # es_en_20h-shaped epoch (VERDICT r4 #8).  The step-model spec set
+    # is trimmed to two configs to leave compile budget for the
+    # trainer's 20-bucket program set: B32_G4 (the recipe shape the
+    # trainer runs — its f32 scan twin is the headline's vs_baseline)
+    # and B256_G4 (the best single-shape config, round-4 continuity).
+    specs = {"B32_G4": (32, 4), "B256_G4": (256, 4)}
     fused_rounds = {}
     round_times = {}
     scan_best = {}
     standin_box = [None]
+    trainer_box = [[]]
     _start_watchdog(t0, deadline, lambda: _train_payload(
-        specs, fused_rounds, scan_best, standin_box[0], round_times))
+        specs, fused_rounds, scan_best, standin_box[0], round_times,
+        trainer_rates=trainer_box[0]))
     runners, scans = {}, {}
     for name, (B, G) in specs.items():
         try:
@@ -564,16 +623,14 @@ def main():
     for _ in range(4):
         one_round()
     # The 4 base rounds run back-to-back, i.e. inside ONE tunnel speed
-    # window — a slow minute depresses them all together.  Measurement
-    # is cheap next to the compiles, so stretch extra rounds across up
-    # to ~10 minutes of wall time (20 s gaps sample distinct windows;
-    # slow windows have been observed to outlast 3 minutes) and stop
-    # early only once best-of has stabilized AND at least 5 minutes of
-    # windows were sampled: the recorded artifact becomes
-    # best-over-windows, not best-of-one-window.
+    # window — a slow minute depresses them all together.  Stretch a
+    # few extra rounds across windows (20 s gaps), but keep this stage
+    # short: the trainer headline below needs the bulk of the budget,
+    # and the HBM-cache trainer is tunnel-insensitive anyway (the cache
+    # removed the per-batch wire, BASELINE round 5).
     stale = 0
     stretch_t0 = time.time()
-    extras_end = min(t0 + 0.6 * deadline, stretch_t0 + 900)
+    extras_end = min(t0 + 0.25 * deadline, stretch_t0 + 360)
 
     def cur_best():
         return max((max(v) for v in fused_rounds.values() if v),
@@ -586,31 +643,36 @@ def main():
         best_cfg = max(done, key=lambda k: max(done[k]))
         return _decile_spread(done[best_cfg])
 
-    # stop only when BOTH best-of has stabilized AND the headline
-    # config's decile spread is under 10% (round-over-round
-    # comparability, the round-3 verdict's bar); otherwise keep
-    # stretching across tunnel windows until the time budget runs out
     for _ in range(40):
-        if (stale >= 4 and headline_spread() <= 0.10
-                and time.time() - stretch_t0 > 300) \
+        if (stale >= 3 and headline_spread() <= 0.10
+                and time.time() - stretch_t0 > 120) \
                 or time.time() > extras_end:
             break
         time.sleep(20)
         prev_best = cur_best()
         one_round()
         stale = 0 if cur_best() > prev_best * 1.005 else stale + 1
-    deadline_hit = headline_spread() > 0.10
-    # the eager stand-in costs minutes of tunnel round-trips; skip it
-    # when the deadline is near so the jitted results still get emitted
-    if time.time() - t0 < 0.75 * deadline:
+    # the eager stand-in costs minutes of tunnel round-trips; one quick
+    # attempt before the trainer stage
+    if time.time() - t0 < 0.35 * deadline:
         try:
             standin_box[0] = bench_reference_style()
         except Exception:
             standin_box[0] = None
 
+    # ---- the headline: the REAL harness (epoch 1 is the 20-bucket
+    # compile set + the one-time cache upload; warm epochs are the
+    # measurement).  The watchdog payload already carries whatever has
+    # been measured if this stage overruns the deadline.
+    trainer_box[0], _ = _bench_real_trainer(t0 + 0.92 * deadline)
+    deadline_hit = (headline_spread() > 0.10
+                    if not trainer_box[0]
+                    else _decile_spread(trainer_box[0]) > 0.10)
+
     emit_once(_train_payload(specs, fused_rounds, scan_best,
                              standin_box[0], round_times,
-                             deadline_hit=deadline_hit))
+                             deadline_hit=deadline_hit,
+                             trainer_rates=trainer_box[0]))
 
 
 if __name__ == "__main__":

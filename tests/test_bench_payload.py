@@ -112,3 +112,33 @@ def test_decile_spread_shrinks_with_stable_samples(bench):
     v2 = v + [100.0] * 18
     assert bench._decile_spread(v2) < bench._decile_spread(v)
     assert bench._decile_spread([100.0]) == 0.0
+
+
+def test_payload_real_trainer_headline(bench):
+    """With warm trainer epochs measured, the headline VALUE comes from
+    the real harness (median), vs_baseline from the B32_G4 scan twin,
+    and the step-model numbers remain reported alongside."""
+    p = bench._train_payload(
+        {"B32_G4": (32, 4), "B256_G4": (256, 4)},
+        {"B32_G4": [7000.0], "B256_G4": [7300.0, 7200.0]},
+        {"B32_G4": 3500.0, "B256_G4": 3600.0},
+        standin=2.0,
+        trainer_rates=[7600.0, 7700.0, 7650.0])
+    assert p["headline_source"] == "real_trainer"
+    assert p["value"] == 7650.0                   # median warm epoch
+    assert p["vs_baseline"] == round(7650.0 / 3500.0, 2)
+    assert "NN.train_epoch" in p["config"]
+    assert p["trainer_epochs_utts_per_sec"] == [7600.0, 7650.0, 7700.0]
+    assert p["trainer_epoch_seconds"] == round(17306 / 7650.0, 2)
+    # step-model numbers still present for round-over-round continuity
+    assert p["fused_utts_per_sec"]["B256_G4"] == 7300.0
+    json.dumps(p)
+
+
+def test_payload_trainer_empty_falls_back_to_step_model(bench):
+    p = bench._train_payload(
+        {"B32_G4": (32, 4)}, {"B32_G4": [7000.0]}, {"B32_G4": 3500.0},
+        None, trainer_rates=[])
+    assert p["headline_source"] == "step_model_fallback"
+    assert p["value"] == 7000.0
+    assert "trainer_epochs_utts_per_sec" not in p
