@@ -669,6 +669,22 @@ class NN:
             self._hbm_caches[set_key] = cache
         return self._hbm_caches[set_key]
 
+    def _gather_cached(self, cache, batch):
+        """Eval-path batch assembly out of the HBM cache: one small
+        jitted gather whose output feeds the (unchanged) eval/decode
+        steps on device — no feature bytes cross the wire.  train=False
+        streams carry an all-ones drop mask, so this equals the
+        host-assembled block exactly."""
+        fn = getattr(self, "_gather_fn", None)
+        if fn is None:
+            @jax.jit
+            def fn(cache_arr, rows, mask):
+                return jnp.asarray(cache_arr)[rows].astype(jnp.float32) \
+                    * mask.astype(jnp.float32)[:, :, None]
+            self._gather_fn = fn
+        return fn(cache.bucket_array(batch["bucket"]),
+                  batch["rows_idx"], batch["drop_mask"])
+
     def train_epoch(self, set_key, epoch=0):
         tcfg = self.cfg.train
         batch_size = tcfg["batch_size"]
@@ -884,16 +900,19 @@ class NN:
             self._eval_loss_step = loss_step
 
         losses, sizes = [], []
+        cache = self._hbm_cache_for(set_key) if self.hbm_cache else None
         gen = self.data_loader.get_batch(
             self.cfg.train["batch_size"], set_key, train=False, labels=True,
             # multi-host SPMD: every host must assemble the identical
             # stream (same reasoning as predict's pinned epoch) — the
             # stateful py_rng would otherwise let hosts diverge
             epoch=0 if jax.process_count() > 1 else None,
-            tail_shrink=self.tail_shrink)
+            tail_shrink=self.tail_shrink, index_cache=cache)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, True))
         for batch in prefetch:
-            losses.append(loss_step(self.params, self.state, batch["X"],
+            X = self._gather_cached(cache, batch) if cache is not None \
+                else batch["X"]
+            losses.append(loss_step(self.params, self.state, X,
                                     batch["y"], batch["n_real"]))
             sizes.append(max(1, len(batch["utts"])))
         if not losses:
@@ -908,10 +927,11 @@ class NN:
         split — downstream BLEU indexes all of eval.ids (eval/bleu.py)."""
         batch_size = self.cfg.train["batch_size"]
         preds = []
+        cache = self._hbm_cache_for(set_key) if self.hbm_cache else None
         gen = self.data_loader.get_batch(
             batch_size, set_key, train=False, labels=False,
             epoch=0 if jax.process_count() > 1 else None,
-            tail_shrink=self.tail_shrink)
+            tail_shrink=self.tail_shrink, index_cache=cache)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
         inflight = collections.deque()
 
@@ -926,7 +946,9 @@ class NN:
         # overlaps batch i's host work with batch i+1's device work
         depth = self._decode_pipeline_depth()
         for batch in prefetch:
-            p = self._predict_step(self.params, self.state, batch["X"])
+            X = self._gather_cached(cache, batch) if cache is not None \
+                else batch["X"]
+            p = self._predict_step(self.params, self.state, X)
             inflight.append((batch, p))
             if len(inflight) >= depth:
                 drain()
@@ -957,12 +979,13 @@ class NN:
             batch_size = self.cfg.train["batch_size"]
         stop_limit = self.cfg.train["data"]["max_pred"]
         results = {}
+        cache = self._hbm_cache_for(set_key) if self.hbm_cache else None
         gen = self.data_loader.get_batch(
             batch_size, set_key, train=False, labels=False,
             # multi-host SPMD: identical streams on every host (see
             # predict) — test_multihost_mp pins identical beam content
             epoch=0 if jax.process_count() > 1 else None,
-            tail_shrink=self.tail_shrink)
+            tail_shrink=self.tail_shrink, index_cache=cache)
         prefetch = Prefetcher(gen, lambda b: self._device_batch(b, False))
         decode = beam_ops.make_beam_decoder(
             self.mcfg, N=N, K=K, stop_limit=stop_limit,
@@ -992,9 +1015,12 @@ class NN:
         # without the deque the device idles through all of it
         depth = self._decode_pipeline_depth(heavy_outputs=save_attn)
         for batch in prefetch:
-            X = batch["X"]
-            if featurize is not None:
-                X = featurize(X)
+            if cache is not None:
+                X = self._gather_cached(cache, batch)
+            else:
+                X = batch["X"]
+                if featurize is not None:
+                    X = featurize(X)
             inflight.append((batch, decode(self.params, self.state, X)))
             if len(inflight) >= depth:
                 drain()

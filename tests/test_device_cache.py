@@ -158,3 +158,32 @@ def test_index_mode_stream_matches_host_stream(tmp_path):
         np.testing.assert_array_equal(hb["X"], got)
         n += 1
     assert n >= 2
+
+
+def test_hbm_cache_eval_paths_identical(tmp_path):
+    """predict / eval_loss / decode_beam_set with the cache equal the
+    host-fed paths exactly (eval streams carry all-ones masks; the
+    gather output feeds the unchanged eval steps)."""
+    from ast_tpu.train.trainer import NN
+
+    host = str(tmp_path / "host")
+    cached = str(tmp_path / "cached")
+    make_tiny_experiment(host, n_train=8, n_dev=6)
+    make_tiny_experiment(cached, n_train=8, n_dev=6)
+    _patch_extras(os.path.join(cached, "exp"), {"hbm_cache": True})
+
+    nn_h = NN(os.path.join(host, "exp"))
+    nn_c = NN(os.path.join(cached, "exp"))
+    # identical init (same seed), so outputs must match exactly
+    preds_h = dict(nn_h.predict("tiny_dev"))
+    preds_c = dict(nn_c.predict("tiny_dev"))
+    assert preds_h.keys() == preds_c.keys()
+    for u in preds_h:
+        assert list(preds_h[u]) == list(preds_c[u]), u
+    assert nn_h.eval_loss("tiny_dev") == nn_c.eval_loss("tiny_dev")
+    beams_h = nn_h.decode_beam_set("tiny_dev", N=2, K=2)
+    beams_c = nn_c.decode_beam_set("tiny_dev", N=2, K=2)
+    assert beams_h.keys() == beams_c.keys()
+    for u in beams_h:
+        for (ha, hs), (ca, cs) in zip(beams_h[u], beams_c[u]):
+            assert ha == ca and hs == cs, u
