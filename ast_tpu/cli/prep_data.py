@@ -328,7 +328,9 @@ def cmd_clean_text(args):
     with open(args.text, encoding="utf-8") as f:
         lines = [ln.rstrip("\n") for ln in f if ln.strip()]
     ids, cleans = clean_text_ids(lines)
-    base = args.out or args.text.rsplit(".", 1)[0]
+    # splitext only strips the FILENAME's extension (rsplit('.') would
+    # truncate at a dotted parent directory for extensionless files)
+    base = args.out or os.path.splitext(args.text)[0]
     with open(base + ".ids", "w") as f:
         f.write("\n".join(ids) + ("\n" if ids else ""))
     with open(base + ".clean.text", "w", encoding="utf-8") as f:

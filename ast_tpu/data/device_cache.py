@@ -58,6 +58,23 @@ class EpochFeatureCache:
         else:
             sharding = None
 
+        # the loader's host-RAM feature cache would retain a second
+        # full copy of every array loaded here (it will never be read
+        # again in cache mode — the device holds the data); disable it
+        # for the duration of the build
+        prev_cache_flag = getattr(loader, "cache_features", None)
+        if prev_cache_flag:
+            loader.cache_features = False
+        try:
+            total = self._build(loader, info, num_b, width_b, max_sp,
+                                dtype, sharding)
+        finally:
+            if prev_cache_flag is not None:
+                loader.cache_features = prev_cache_flag
+        self.nbytes = total
+
+    def _build(self, loader, info, num_b, width_b, max_sp, dtype,
+               sharding):
         total = 0
         for b, bucket in enumerate(info["buckets"]):
             if not bucket:
@@ -65,7 +82,7 @@ class EpochFeatureCache:
             T = max_sp if b == num_b - 1 else (b + 1) * width_b
             feats = []
             for row, utt in enumerate(bucket):
-                x = loader._load_speech(utt, set_key, max_sp)
+                x = loader._load_speech(utt, self.set_key, max_sp)
                 self.row_of[utt] = row
                 self.true_len[utt] = len(x)
                 feats.append(np.asarray(x, np.float32))
@@ -81,7 +98,7 @@ class EpochFeatureCache:
             else:
                 self._arrays[b] = jax.device_put(arr)
             total += arr.nbytes
-        self.nbytes = total
+        return total
 
     def bucket_array(self, b):
         return self._arrays[b]

@@ -117,6 +117,13 @@ def fisher_recipe(audio_dir, segments=None, text_dir=None, out=None,
     os.makedirs(out, exist_ok=True)
     if tdf_dir is not None:
         from ast_tpu.data.transcripts import prepare_fisher_text
+        if splits is None and tuple(sets) != ("train", "dev"):
+            # the hash split only produces train/dev; silently
+            # overriding the caller's set names would drop sets
+            raise ValueError(
+                f"tdf_dir without splits derives sets ('train', 'dev');"
+                f" pass splits= (a dir of <set> call-id lists) to use "
+                f"custom set names {tuple(sets)}")
         derived = prepare_fisher_text(
             tdf_dir, os.path.join(out, "text"), splits=splits,
             sets=tuple(sets) if splits is not None else None,
@@ -126,8 +133,6 @@ def fisher_recipe(audio_dir, segments=None, text_dir=None, out=None,
         text_dir = derived["text_dir"]
         if channel_map is None:
             channel_map = derived["channel_map"]
-        if splits is None:
-            sets = ("train", "dev")
     if segments is None or text_dir is None:
         raise ValueError(
             "fisher_recipe needs segments+text_dir (pre-cleaned text) "

@@ -37,6 +37,14 @@ def _fmt_cs(seconds):
 # strip runs under the C locale)
 _PUNCT = re.compile(r"[!-/:-@\[-`{-~]")
 
+# Perl's lc without `use utf8` lowercases BYTES, i.e. ASCII only — the
+# explicit Á/Í/Ó/Ú folds exist in the reference precisely because lc
+# does not touch them.  Python's str.lower() would also fold Ñ/É/...,
+# diverging from the reference on such input, so the ASCII-only
+# translation reproduces the byte-wise behavior.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
 
 def _clean_words(words):
     """The fsp_make_trans.pl word-normalization chain
@@ -47,7 +55,9 @@ def _clean_words(words):
     2. strip ASCII [[:punct:]]
     3. restore the protected delimiters
     4. accent/diacritic folding: upper-case accented vowels to lower,
-       drop combining marks, ``N``->``n`` (pre-lowercase), lowercase,
+       drop combining marks, ``N``->``n`` (pre-lowercase), lowercase
+       (ASCII-only, matching Perl's byte-wise lc — Ñ/É etc. pass
+       through untouched exactly as in the reference),
        ``ü(e|i|é|í)`` -> ``w$1``, ``ü`` -> ``u``, ``ñ`` -> ``N`` (the
        Kaldi convention: capital N denotes eñe after lowercasing)
     """
@@ -62,7 +72,7 @@ def _clean_words(words):
                  ("¨", ""), ("·", ""), ("´", ""),
                  ("N", "n")):
         w = w.replace(a, b)
-    w = w.lower()
+    w = w.translate(_ASCII_LOWER)
     w = re.sub("ü([eiéí])", r"w\1", w)
     w = w.replace("ü", "u")
     w = w.replace("ñ", "N")
@@ -224,18 +234,24 @@ def clean_text_ids(text_lines):
 def _hash_split(call_ids, dev_fraction, seed):
     """Deterministic conversation-level split (sha256 of call id)."""
     import hashlib
+    ordered = sorted(call_ids)
+    if len(ordered) < 2:
+        # a 1-conversation corpus cannot be split at conversation
+        # level; proceeding would silently write an empty train or dev
+        # side and fail obscurely stages later
+        raise ValueError(
+            "conversation-level hash split needs >= 2 conversations "
+            f"(got {len(ordered)}); pass an explicit splits= mapping")
     dev = set()
     for cid in call_ids:
         h = hashlib.sha256(f"{seed}:{cid}".encode()).digest()
         if int.from_bytes(h[:8], "big") / 2**64 < dev_fraction:
             dev.add(cid)
-    # never leave either side empty when there are >= 2 conversations
-    ordered = sorted(call_ids)
-    if len(ordered) >= 2:
-        if not dev:
-            dev.add(ordered[-1])
-        if len(dev) == len(ordered):
-            dev.discard(ordered[0])
+    # never leave either side empty
+    if not dev:
+        dev.add(ordered[-1])
+    if len(dev) == len(ordered):
+        dev.discard(ordered[0])
     return dev
 
 

@@ -22,9 +22,9 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-from trainer_epoch_bench import build_corpus, write_configs  # noqa: E402
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from trainer_epoch_bench import build_corpus, write_configs  # noqa: E402
 
 
 def main():

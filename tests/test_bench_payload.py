@@ -142,3 +142,16 @@ def test_payload_trainer_empty_falls_back_to_step_model(bench):
     assert p["headline_source"] == "step_model_fallback"
     assert p["value"] == 7000.0
     assert "trainer_epochs_utts_per_sec" not in p
+
+
+def test_payload_trainer_headline_survives_empty_step_models(bench):
+    """Step models producing zero rounds must not discard a completed
+    real-trainer measurement."""
+    p = bench._train_payload(
+        {"B32_G4": (32, 4)}, {}, {}, None,
+        trainer_rates=[7600.0, 7700.0], trainer_n=1234)
+    assert p["headline_source"] == "real_trainer"
+    assert p["value"] == 7650.0
+    assert "1234" in p["config"]
+    assert p["trainer_epoch_seconds"] == round(1234 / 7650.0, 2)
+    json.dumps(p)

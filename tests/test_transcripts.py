@@ -66,12 +66,14 @@ def test_make_trans_punctuation_and_markup_protection(tmp_path):
 
 def test_make_trans_accent_folding(tmp_path):
     """Fold order matters: N->n precedes lc; ü-digraphs and ñ->N follow
-    (fsp_make_trans.pl:52-68)."""
+    (fsp_make_trans.pl:52-68).  lc is BYTE-WISE (no `use utf8` in the
+    reference), so capital Ñ passes through untouched — only lowercase
+    ñ becomes the Kaldi capital-N eñe marker."""
     p = str(tmp_path / "c2.tdf")
     _write_tdf(p, [_row(0, 0, 1, "Árbol PEQUEÑO señor Güero güisqui ÚNico")])
     text, _, _ = make_trans([p])
     words = text[0].split(" ", 1)[1]
-    assert words == "árbol pequeNo seNor gwero gwisqui único"
+    assert words == "árbol pequeÑo seNor gwero gwisqui único"
 
 
 def test_stage2_markup_to_annotations(tmp_path):
