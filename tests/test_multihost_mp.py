@@ -82,16 +82,23 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_train_and_predict(tmp_path):
+@pytest.mark.parametrize("hbm_cache", [False, True],
+                         ids=["hostfed", "hbm_cache"])
+def test_two_process_train_and_predict(tmp_path, hbm_cache):
     from tests.conftest import make_tiny_experiment
 
     # steps_per_dispatch=2: the tiny stream exercises BOTH the scanned
     # multi-step group path and the partial-run singles fallback across
-    # hosts, composing multi-step dispatch with the SPMD multi-host mesh
+    # hosts, composing multi-step dispatch with the SPMD multi-host
+    # mesh.  The hbm_cache arm additionally validates the replicated
+    # device cache + sharded gather indices under REAL multi-process
+    # SPMD (each process device_puts the identical cache and gathers
+    # its local rows).
+    extras = {"steps_per_dispatch": 2, "preempt_sync_steps": 1}
+    if hbm_cache:
+        extras["hbm_cache"] = True
     exp = make_tiny_experiment(str(tmp_path), n_train=8, n_dev=6,
-                               batch_size=4,
-                               extras={"steps_per_dispatch": 2,
-                                       "preempt_sync_steps": 1})
+                               batch_size=4, extras=extras)
     port = _free_port()
 
     env = dict(os.environ)
