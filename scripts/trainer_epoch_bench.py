@@ -34,8 +34,12 @@ import numpy as np
 VOCAB_WORDS = 1094  # + 4 specials = the flagship's 1098
 
 
-def build_corpus(root, log=print):
-    """Synthetic corpus matching bench.EPOCH_BUCKETS exactly."""
+def build_corpus(root, log=print, scale=1):
+    """Synthetic corpus matching bench.EPOCH_BUCKETS exactly.
+
+    ``scale``: multiply every bucket's utterance count (scale=8 ==
+    the 160h corpus shape — fisher_20h.info x8, ~138k utts / ~2.9 GB
+    of features)."""
     import bench
 
     data = os.path.join(root, "data")
@@ -61,6 +65,7 @@ def build_corpus(root, log=print):
     t0 = time.time()
     n_total = 0
     for b, n, T, U in bench.EPOCH_BUCKETS:
+        n *= int(scale)
         lo = b * 80 + 1
         hi = T  # bucket upper edge == the bench's per-bucket frame count
         for i in range(n):
@@ -176,11 +181,14 @@ def main():
     ap.add_argument("--hbm-cache-dtype", default="float32",
                     dest="hbm_cache_dtype",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--scale", type=int, default=1,
+                    help="multiply bucket utterance counts (8 = the "
+                         "160h corpus shape)")
     ap.add_argument("--skip-model", action="store_true",
                     help="skip the bench.py epoch-model comparison run")
     args = ap.parse_args()
 
-    n_utts = build_corpus(args.root)
+    n_utts = build_corpus(args.root, scale=args.scale)
     if args.pack:
         from ast_tpu.data.feature_pack import pack_features
         for s in ("syn_train", "syn_dev"):
